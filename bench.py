@@ -1,0 +1,73 @@
+"""Benchmark: Mrays/s on the Cornell-box 4-bounce path trace (BASELINE.json metric).
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}. The reference
+publishes no numbers (BASELINE.md: intentionally-naive code, nothing measured), so
+vs_baseline compares against this repo's own first recorded end-to-end TPU figure
+(BASELINE_SELF_MRAYS) — ratchet it up as kernels improve, never down.
+
+Workload: the reference's canonical scene/resolution (512x512, cornellbox.bin,
+36 tris — RaytraceTest.cpp:219) at the 4-bounce depth BASELINE.json's headline
+metric names, progressive 1-spp frames with the REFERENCE's RNG streams. Hot path:
+the fused Pallas megakernel (kernels/megakernel.py).
+
+Ray accounting counts TRACED segments (lanes alive at each bounce's intersection),
+not pixels x bounces — dead lanes don't inflate the number. The count comes from
+the jnp parity integrator driven by the same RNG streams, so it is exact for what
+the kernel executes.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# First recorded end-to-end figure for this exact workload (TPU v5e, Pallas
+# megakernel, round 1). vs_baseline = value / BASELINE_SELF_MRAYS.
+BASELINE_SELF_MRAYS = 16.0
+
+WIDTH = HEIGHT = 512
+BOUNCES = 4
+SPP_WARM = 4
+SPP_BENCH = 64
+
+
+def main() -> None:
+    from oclpathtracer_tpu import RenderConfig
+    from oclpathtracer_tpu.integrators.parity import count_segments_ref
+    from oclpathtracer_tpu.kernels.megakernel import pack_scene, render_samples_pallas
+    from oclpathtracer_tpu.runtime import enable_compilation_cache
+    from oclpathtracer_tpu.scene import load_cornell_box
+
+    enable_compilation_cache()
+    scene = load_cornell_box()
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, bounces=BOUNCES)
+    table = pack_scene(scene)
+
+    # Warm-up: compile both sample counts.
+    jax.block_until_ready(render_samples_pallas(table, cfg, 0, SPP_WARM))
+
+    segs = int(count_segments_ref(
+        scene, cfg, jnp.arange(SPP_WARM, SPP_WARM + SPP_BENCH, dtype=jnp.int32)))
+
+    t0 = time.perf_counter()
+    out = render_samples_pallas(table, cfg, SPP_WARM, SPP_BENCH)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    assert np.isfinite(np.asarray(out)).all(), "bench render produced non-finite"
+
+    mrays = segs / dt / 1e6
+    print(json.dumps({
+        "metric": "cornell_4bounce_path_trace",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / BASELINE_SELF_MRAYS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

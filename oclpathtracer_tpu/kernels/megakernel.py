@@ -1,0 +1,368 @@
+"""Fused path-trace megakernel (Pallas/TPU).
+
+One kernel traces ENTIRE paths for a block of 1024 pixels (an (8,128) vector tile —
+each lane is a ray, the VPU's native shape): camera generation, the full bounce loop,
+the 36-triangle scan, BRDF sampling, and multi-sample accumulation all happen on-chip.
+
+Why this is the TPU-native design (vs the jnp megakernel in integrators/path.py):
+  * the jnp form materializes (N, T, 3) broadcast intermediates in HBM — at 512²
+    rays that's >100 MB per op, making the whole render HBM-bandwidth-bound;
+  * here scene data lives in SMEM (36×24 f32 ≈ 3.5 KB), ray state lives in vector
+    registers/VMEM, and HBM traffic is exactly ONE (8,128,3) radiance write per
+    pixel block per kernel — the kernel is compute-bound on the VPU, which is
+    speed-of-light for this op (no matmuls in ray-triangle math);
+  * gathers (material lookup by hit id) are eliminated: the triangle scan tracks the
+    best hit's attributes incrementally with vector selects — the same trick that
+    makes the scan divergence-free (vs the reference's per-pixel loop exits,
+    SURVEY.md §3.3 "megakernel divergence").
+
+Sample streams are the REFERENCE's exact RNG (kernels/rng.py): seed = pixel_id +
+hash(frame), wang+LCG per draw — so this kernel is bit-comparable with the jnp
+parity integrator (integrators/parity.py) which replays the identical streams, and
+sharding-invariant because pixel ids are absolute.
+
+Semantics ≡ reference traceRays (GenerateColors.cl:223-261) with all quirks:
+backface cull (:100), first-min hit (:144-150), emissive ×3 (:241), GGX ×2 (:217),
+flat bg on miss (:227), 0.01 respawn offset (:257), ≤`bounces` segments.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from oclpathtracer_tpu.config import RenderConfig
+from oclpathtracer_tpu.kernels import rng as krng
+from oclpathtracer_tpu.scene.types import Scene
+
+SUB, LANE = 8, 128
+BLOCK = SUB * LANE  # 1024 rays per grid step
+
+INV_PI = 0.31830988618
+TWO_PI = 6.28318530718
+T_MAX = 1e20
+
+# Scene table layout (T, 24) f32 — columns:
+#  0:3 p1 | 3:6 e1 | 6:9 e2 | 9:12 n=normalize(cross(e2,e1)) | 12:15 albedo
+#  15:18 emissive | 18 roughness | 19 mtype (1.0 diffuse / 2.0 specular) | 20:24 pad
+TABLE_COLS = 24
+
+
+def pack_scene(scene: Scene) -> jnp.ndarray:
+    """Flatten the scene pytree into the kernel's (T, 24) SMEM table."""
+    g, m = scene.geometry, scene.materials
+    p1 = np.asarray(g.p1, np.float32)
+    e1 = np.asarray(g.p2, np.float32) - p1
+    e2 = np.asarray(g.p3, np.float32) - p1
+    n = np.cross(e2, e1)
+    n = n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+    mid = np.asarray(g.mat_id)
+    tbl = np.zeros((p1.shape[0], TABLE_COLS), np.float32)
+    tbl[:, 0:3] = p1
+    tbl[:, 3:6] = e1
+    tbl[:, 6:9] = e2
+    tbl[:, 9:12] = n
+    tbl[:, 12:15] = np.asarray(m.albedo)[mid]
+    tbl[:, 15:18] = np.asarray(m.emissive)[mid]
+    tbl[:, 18] = np.asarray(m.roughness)[mid]
+    tbl[:, 19] = np.asarray(m.mtype)[mid].astype(np.float32)
+    return jnp.asarray(tbl)
+
+
+# ---- component-wise 3-vector helpers over (8, 128) tiles ----------------------
+
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
+
+
+def _normalize3(a):
+    inv = jax.lax.rsqrt(jnp.maximum(_dot3(a, a), 1e-40))
+    return _scale3(a, inv)
+
+
+def _safe_denom(x, eps=1e-8):
+    return jnp.where(jnp.abs(x) > eps, x, jnp.where(x >= 0.0, eps, -eps))
+
+
+def _camera_constants(cfg: RenderConfig):
+    """Host-side camera basis (≡ core/camera.basis) baked into the kernel."""
+    look = np.asarray(cfg.camera.look, np.float64)
+    up = np.asarray(cfg.camera.up, np.float64)
+    view = look / np.linalg.norm(look)
+    hol = np.cross(view, up)
+    hol = hol / np.linalg.norm(hol)
+    upd = np.cross(hol, view)
+    upd = upd / np.linalg.norm(upd)
+    angle = math.tan(0.5 * math.radians(cfg.camera.vfov_degrees))
+    return (tuple(np.float32(v) for v in view), tuple(np.float32(v) for v in hol),
+            tuple(np.float32(v) for v in upd), np.float32(angle),
+            tuple(np.float32(v) for v in cfg.camera.eye))
+
+
+def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
+    """Build the kernel body with all static config baked in."""
+    W, H = cfg.width, cfg.height
+    bounces = cfg.bounces
+    view, hol, upd, angle, eye = _camera_constants(cfg)
+    aspect = np.float32(W / H)
+    bg = tuple(np.float32(c) for c in cfg.bg_color)
+    eboost = np.float32(cfg.emissive_boost)
+    roffset = np.float32(cfg.ray_offset)
+
+    def kernel(table_ref, start_ref, out_ref):
+        b = pl.program_id(0)
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+        pid = b * BLOCK + sub_ids * LANE + lane_ids
+        px = (pid % W).astype(jnp.float32)
+        py = (pid // W).astype(jnp.float32)
+        pid_u32 = krng.as_u32(pid)
+
+        def trace_one_sample(sample_idx):
+            """Radiance of one 1-spp progressive frame for this pixel tile."""
+            state = krng.seed_from(pid_u32, sample_idx)
+
+            # Camera (generateRay, GenerateColors.cl:263-288): jitter x then y.
+            state, u1 = krng.next_float(state)
+            state, u2 = krng.next_float(state)
+            x = px + u1 - 0.5
+            y = py + u2 - 0.5
+            sx = (2.0 * ((x + 0.5) * (1.0 / W)) - 1.0) * angle * aspect
+            sy = -(1.0 - 2.0 * ((y + 0.5) * (1.0 / H))) * angle
+            d = _normalize3((sx * hol[0] - sy * upd[0] + view[0],
+                             sx * hol[1] - sy * upd[1] + view[1],
+                             sx * hol[2] - sy * upd[2] + view[2]))
+            o = (jnp.full((SUB, LANE), eye[0]),
+                 jnp.full((SUB, LANE), eye[1]),
+                 jnp.full((SUB, LANE), eye[2]))
+
+            ones = jnp.ones((SUB, LANE), jnp.float32)
+            zeros = jnp.zeros((SUB, LANE), jnp.float32)
+            mask = (ones, ones, ones)
+            rad = (zeros, zeros, zeros)
+            active = jnp.ones((SUB, LANE), bool)
+
+            def bounce_body(_, carry):
+                o, d, mask, rad, active, state = carry
+
+                # ---- nearest hit: in-order scan, strict '<' ≡ reference
+                # intersectWorld (GenerateColors.cl:137-154), tracking the winning
+                # triangle's attributes incrementally (no gather).
+                best_t = jnp.full((SUB, LANE), T_MAX, jnp.float32)
+                bn = (zeros, zeros, zeros)
+                balb = (zeros, zeros, zeros)
+                bemi = (zeros, zeros, zeros)
+                brough = zeros
+                bspec = jnp.zeros((SUB, LANE), bool)
+
+                def tri_body(j, tc):
+                    best_t, bn, balb, bemi, brough, bspec = tc
+                    p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+                    e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+                    e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+
+                    pvec = _cross3(d, e2)
+                    det = _dot3(e1, pvec)
+                    front = det >= 1e-8  # backface cull (GenerateColors.cl:100)
+                    inv_det = 1.0 / jnp.where(front, det, 1.0)
+                    tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+                    u = _dot3(tvec, pvec) * inv_det
+                    qvec = _cross3(tvec, e1)
+                    v = _dot3(d, qvec) * inv_det
+                    t = _dot3(e2, qvec) * inv_det
+                    sel = (front & (u >= 0.0) & (u <= 1.0)
+                           & (v >= 0.0) & (u + v <= 1.0)
+                           & (t > 0.0) & (t < best_t))
+
+                    best_t = jnp.where(sel, t, best_t)
+                    nrm = (table_ref[j, 9], table_ref[j, 10], table_ref[j, 11])
+                    bn = _where3(sel, (jnp.broadcast_to(nrm[0], (SUB, LANE)),
+                                       jnp.broadcast_to(nrm[1], (SUB, LANE)),
+                                       jnp.broadcast_to(nrm[2], (SUB, LANE))), bn)
+                    alb = (table_ref[j, 12], table_ref[j, 13], table_ref[j, 14])
+                    balb = _where3(sel, (jnp.broadcast_to(alb[0], (SUB, LANE)),
+                                         jnp.broadcast_to(alb[1], (SUB, LANE)),
+                                         jnp.broadcast_to(alb[2], (SUB, LANE))), balb)
+                    emi = (table_ref[j, 15], table_ref[j, 16], table_ref[j, 17])
+                    bemi = _where3(sel, (jnp.broadcast_to(emi[0], (SUB, LANE)),
+                                         jnp.broadcast_to(emi[1], (SUB, LANE)),
+                                         jnp.broadcast_to(emi[2], (SUB, LANE))), bemi)
+                    brough = jnp.where(sel, table_ref[j, 18], brough)
+                    bspec = jnp.where(sel, table_ref[j, 19] >= 1.5, bspec)
+                    return best_t, bn, balb, bemi, brough, bspec
+
+                best_t, bn, balb, bemi, brough, bspec = jax.lax.fori_loop(
+                    0, n_tris, tri_body,
+                    (best_t, bn, balb, bemi, brough, bspec))
+                hit = best_t < T_MAX
+
+                # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
+                miss = active & ~hit
+                rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
+                       rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
+                       rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
+                active = active & hit
+
+                # ---- emission ×3 (GenerateColors.cl:241)
+                rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
+                       rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
+                       rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
+
+                # ---- flip normal against ray (GenerateColors.cl:243)
+                n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
+                wo = _neg3(d)
+
+                # ---- draws: phi then xi (GenerateColors.cl:163-164 / 182-183)
+                state, ud1 = krng.next_float(state)
+                state, ud2 = krng.next_float(state)
+
+                # tangent frame (GenerateColors.cl:167-169)
+                use_y = jnp.abs(n[0]) > 0.001
+                axis = _where3(use_y,
+                               (zeros, ones, zeros), (ones, zeros, zeros))
+                tt = _normalize3(_cross3(axis, n))
+                ss = _cross3(n, tt)
+
+                phi = TWO_PI * ud1
+                cphi = jnp.cos(phi)
+                sphi = jnp.sin(phi)
+
+                # diffuse lobe (GenerateColors.cl:161-172, 197-204)
+                sin_d = jnp.sqrt(ud2)
+                cos_d = jnp.sqrt(1.0 - ud2)
+                wi_d = _normalize3(_add3(_add3(
+                    _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
+                    _scale3(n, cos_d)))
+                pdf_d = _dot3(wi_d, n) * INV_PI
+                f_d = _scale3(balb, INV_PI)
+
+                # specular GGX lobe (GenerateColors.cl:174-192, 205-218)
+                r2 = brough * brough
+                cos_h = jnp.sqrt(
+                    (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
+                sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
+                wh = _normalize3(_add3(_add3(
+                    _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
+                    _scale3(n, cos_h)))
+                wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
+                same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
+                denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
+                # max clamp: r=0 (diffuse lanes) makes this 0/0 otherwise.
+                d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
+                pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
+                fs_scalar = d_ndf / _safe_denom(
+                    4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0  # ×2 quirk :217
+                f_s = _scale3(balb, fs_scalar)
+                pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
+                f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
+
+                wi = _where3(bspec, wi_s, wi_d)
+                pdf = jnp.where(bspec, pdf_s, pdf_d)
+                f = _where3(bspec, f_s, f_d)
+
+                # pdf <= 0 terminates (GenerateColors.cl:251)
+                alive = active & (pdf > 0.0)
+                safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
+                factor = _dot3(wi, n) / safe_pdf
+                mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
+                        jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
+                        jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
+
+                # re-spawn offset 0.01 along wi (GenerateColors.cl:257)
+                hitp = _add3(o, _scale3(d, best_t))
+                o = _add3(hitp, _scale3(wi, roffset))
+                d = _where3(alive, wi, d)
+                return o, d, mask, rad, alive, state
+
+            carry = (o, d, mask, rad, active, state)
+            carry = jax.lax.fori_loop(0, bounces, bounce_body, carry)
+            rad = carry[3]
+            # max(radiance, 0) — GenerateColors.cl:260
+            return (jnp.maximum(rad[0], 0.0), jnp.maximum(rad[1], 0.0),
+                    jnp.maximum(rad[2], 0.0))
+
+        def sample_body(k, acc):
+            r = trace_one_sample(start_ref[0] + k)
+            return acc[0] + r[0], acc[1] + r[1], acc[2] + r[2]
+
+        zeros = jnp.zeros((SUB, LANE), jnp.float32)
+        acc = jax.lax.fori_loop(0, n_samples, sample_body, (zeros, zeros, zeros))
+        out_ref[0, 0] = acc[0]
+        out_ref[0, 1] = acc[1]
+        out_ref[0, 2] = acc[2]
+
+    return kernel
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
+                          start_sample, n_samples: int) -> jnp.ndarray:
+    """SUM of `n_samples` progressive 1-spp frames, full image: (n_pixels, 3) f32.
+
+    `table` is pack_scene(scene); `start_sample` the first frame index. Divide by
+    n_samples for the mean; streams are the reference's, keyed (pixel, frame).
+    """
+    n_pix = cfg.n_pixels
+    nb = pl.cdiv(n_pix, BLOCK)
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples)
+    out = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32),
+        interpret=_interpret(),
+    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1))
+    img = out.transpose(0, 2, 3, 1).reshape(nb * BLOCK, 3)
+    return img[:n_pix]
+
+
+def render_pallas(scene: Scene, cfg: RenderConfig, total_spp: int,
+                  samples_per_call: int = 0) -> jnp.ndarray:
+    """Progressive mean image via the megakernel (host loop over sample chunks)."""
+    table = pack_scene(scene)
+    chunk = samples_per_call or total_spp
+    acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    s = 0
+    while s < total_spp:
+        n = min(chunk, total_spp - s)
+        acc = acc + render_samples_pallas(table, cfg, s, n)
+        s += n
+    return acc / total_spp
