@@ -37,8 +37,10 @@ SPP_BENCH = 64
 
 def main() -> None:
     from oclpathtracer_tpu import RenderConfig
-    from oclpathtracer_tpu.integrators.parity import count_segments_ref
-    from oclpathtracer_tpu.kernels.megakernel import pack_scene, render_samples_pallas
+    from oclpathtracer_tpu.kernels.megakernel import (
+        pack_scene,
+        render_samples_pallas_stats,
+    )
     from oclpathtracer_tpu.runtime import enable_compilation_cache
     from oclpathtracer_tpu.scene import load_cornell_box
 
@@ -47,16 +49,14 @@ def main() -> None:
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, bounces=BOUNCES)
     table = pack_scene(scene)
 
-    # Warm-up: compile both sample counts.
-    jax.block_until_ready(render_samples_pallas(table, cfg, 0, SPP_WARM))
-
-    segs = int(count_segments_ref(
-        scene, cfg, jnp.arange(SPP_WARM, SPP_WARM + SPP_BENCH, dtype=jnp.int32)))
+    # Warm-up / compile (the SPP_BENCH shape is what gets timed).
+    jax.block_until_ready(render_samples_pallas_stats(table, cfg, 0, SPP_BENCH))
 
     t0 = time.perf_counter()
-    out = render_samples_pallas(table, cfg, SPP_WARM, SPP_BENCH)
+    out, segs_f = render_samples_pallas_stats(table, cfg, SPP_WARM, SPP_BENCH)
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
+    segs = int(segs_f)
 
     assert np.isfinite(np.asarray(out)).all(), "bench render produced non-finite"
 

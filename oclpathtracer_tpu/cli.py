@@ -49,6 +49,16 @@ def _cmd_render(args) -> int:
 
         img = render_pallas(scene, cfg, args.spp,
                             samples_per_call=min(args.spp, 64))
+    elif args.integrator == "wavefront":
+        from oclpathtracer_tpu.kernels.wavefront import render_wavefront
+
+        img = render_wavefront(scene, cfg, args.spp,
+                               samples_per_call=min(args.spp, 64))
+    elif args.integrator == "bvh":
+        from oclpathtracer_tpu.kernels.bvh_megakernel import render_bvh
+
+        img = render_bvh(scene, cfg, args.spp,
+                         samples_per_call=min(args.spp, 64))
     elif args.integrator == "path":
         from oclpathtracer_tpu.render.driver import render_progressive
 
@@ -109,7 +119,8 @@ def main(argv=None) -> int:
     r.add_argument("--bounces", type=int, default=16)
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--integrator", default="pallas",
-                   choices=["pallas", "path", "primary", "ao", "direct"])
+                   choices=["pallas", "wavefront", "bvh", "path", "primary",
+                            "ao", "direct"])
     r.add_argument("--output", "-o", default="render.png")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)

@@ -138,18 +138,27 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
     eboost = np.float32(cfg.emissive_boost)
     roffset = np.float32(cfg.ray_offset)
 
-    def kernel(table_ref, start_ref, out_ref):
+    def kernel(table_ref, start_ref, base_ref, out_ref, seg_ref):
         b = pl.program_id(0)
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-        pid = b * BLOCK + sub_ids * LANE + lane_ids
+        # base_ref: ABSOLUTE pixel id of this invocation's first block — nonzero
+        # when the image is shard_map-split across devices. Keying the RNG on the
+        # absolute id is what makes sharded output bitwise layout-invariant.
+        pid = base_ref[0] + b * BLOCK + sub_ids * LANE + lane_ids
         px = (pid % W).astype(jnp.float32)
         py = (pid // W).astype(jnp.float32)
-        pid_u32 = krng.as_u32(pid)
+
+        # Mosaic layout note: loop-carried tiles must NOT be splat constants
+        # (jnp.zeros / broadcast_to get a "replicated" layout, the loop body
+        # produces a concrete one, and layout inference rejects the relayout).
+        # vzero is iota-derived — concretely laid out — and seeds every carry.
+        vzero = pid.astype(jnp.float32) * 0.0  # varies in BOTH dims -> {0,0} layout
+        vone = vzero + 1.0
 
         def trace_one_sample(sample_idx):
             """Radiance of one 1-spp progressive frame for this pixel tile."""
-            state = krng.seed_from(pid_u32, sample_idx)
+            state = krng.seed_from(pid, sample_idx)
 
             # Camera (generateRay, GenerateColors.cl:263-288): jitter x then y.
             state, u1 = krng.next_float(state)
@@ -161,31 +170,37 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
             d = _normalize3((sx * hol[0] - sy * upd[0] + view[0],
                              sx * hol[1] - sy * upd[1] + view[1],
                              sx * hol[2] - sy * upd[2] + view[2]))
-            o = (jnp.full((SUB, LANE), eye[0]),
-                 jnp.full((SUB, LANE), eye[1]),
-                 jnp.full((SUB, LANE), eye[2]))
+            o = (vzero + eye[0],
+                 vzero + eye[1],
+                 vzero + eye[2])
 
-            ones = jnp.ones((SUB, LANE), jnp.float32)
-            zeros = jnp.zeros((SUB, LANE), jnp.float32)
+            ones = vone
+            zeros = vzero
             mask = (ones, ones, ones)
             rad = (zeros, zeros, zeros)
-            active = jnp.ones((SUB, LANE), bool)
+            # Bool tiles must not cross scf loop boundaries (Mosaic has no
+            # layout for carried vector<i1>); carry an f32 0/1 mask instead and
+            # rebuild the bool locally each iteration.
+            active_f = vone
+            segs = zeros  # per-lane traced-segment count (Mrays/s denominator)
 
             def bounce_body(_, carry):
-                o, d, mask, rad, active, state = carry
+                o, d, mask, rad, active_f, state, segs = carry
+                active = active_f > 0.5
+                segs = segs + active_f  # entrants this bounce
 
                 # ---- nearest hit: in-order scan, strict '<' ≡ reference
                 # intersectWorld (GenerateColors.cl:137-154), tracking the winning
                 # triangle's attributes incrementally (no gather).
-                best_t = jnp.full((SUB, LANE), T_MAX, jnp.float32)
+                best_t = vzero + T_MAX
                 bn = (zeros, zeros, zeros)
                 balb = (zeros, zeros, zeros)
                 bemi = (zeros, zeros, zeros)
                 brough = zeros
-                bspec = jnp.zeros((SUB, LANE), bool)
+                bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
 
                 def tri_body(j, tc):
-                    best_t, bn, balb, bemi, brough, bspec = tc
+                    best_t, bn, balb, bemi, brough, bmty = tc
                     p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
                     e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
                     e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
@@ -205,24 +220,21 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
 
                     best_t = jnp.where(sel, t, best_t)
                     nrm = (table_ref[j, 9], table_ref[j, 10], table_ref[j, 11])
-                    bn = _where3(sel, (jnp.broadcast_to(nrm[0], (SUB, LANE)),
-                                       jnp.broadcast_to(nrm[1], (SUB, LANE)),
-                                       jnp.broadcast_to(nrm[2], (SUB, LANE))), bn)
+                    bn = _where3(sel, (vzero + nrm[0], vzero + nrm[1],
+                                       vzero + nrm[2]), bn)
                     alb = (table_ref[j, 12], table_ref[j, 13], table_ref[j, 14])
-                    balb = _where3(sel, (jnp.broadcast_to(alb[0], (SUB, LANE)),
-                                         jnp.broadcast_to(alb[1], (SUB, LANE)),
-                                         jnp.broadcast_to(alb[2], (SUB, LANE))), balb)
+                    balb = _where3(sel, (vzero + alb[0], vzero + alb[1],
+                                         vzero + alb[2]), balb)
                     emi = (table_ref[j, 15], table_ref[j, 16], table_ref[j, 17])
-                    bemi = _where3(sel, (jnp.broadcast_to(emi[0], (SUB, LANE)),
-                                         jnp.broadcast_to(emi[1], (SUB, LANE)),
-                                         jnp.broadcast_to(emi[2], (SUB, LANE))), bemi)
+                    bemi = _where3(sel, (vzero + emi[0], vzero + emi[1],
+                                         vzero + emi[2]), bemi)
                     brough = jnp.where(sel, table_ref[j, 18], brough)
-                    bspec = jnp.where(sel, table_ref[j, 19] >= 1.5, bspec)
-                    return best_t, bn, balb, bemi, brough, bspec
+                    bmty = jnp.where(sel, table_ref[j, 19], bmty)
+                    return best_t, bn, balb, bemi, brough, bmty
 
-                best_t, bn, balb, bemi, brough, bspec = jax.lax.fori_loop(
+                best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
                     0, n_tris, tri_body,
-                    (best_t, bn, balb, bemi, brough, bspec))
+                    (best_t, bn, balb, bemi, brough, bmty))
                 hit = best_t < T_MAX
 
                 # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
@@ -285,6 +297,7 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
                 pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
                 f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
 
+                bspec = bmty >= 1.5
                 wi = _where3(bspec, wi_s, wi_d)
                 pdf = jnp.where(bspec, pdf_s, pdf_d)
                 f = _where3(bspec, f_s, f_d)
@@ -301,24 +314,26 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
                 hitp = _add3(o, _scale3(d, best_t))
                 o = _add3(hitp, _scale3(wi, roffset))
                 d = _where3(alive, wi, d)
-                return o, d, mask, rad, alive, state
+                return o, d, mask, rad, jnp.where(alive, vone, vzero), state, segs
 
-            carry = (o, d, mask, rad, active, state)
+            carry = (o, d, mask, rad, active_f, state, segs)
             carry = jax.lax.fori_loop(0, bounces, bounce_body, carry)
-            rad = carry[3]
+            rad, segs = carry[3], carry[6]
             # max(radiance, 0) — GenerateColors.cl:260
             return (jnp.maximum(rad[0], 0.0), jnp.maximum(rad[1], 0.0),
-                    jnp.maximum(rad[2], 0.0))
+                    jnp.maximum(rad[2], 0.0)), segs
 
         def sample_body(k, acc):
-            r = trace_one_sample(start_ref[0] + k)
-            return acc[0] + r[0], acc[1] + r[1], acc[2] + r[2]
+            r, s = trace_one_sample(start_ref[0] + k)
+            return acc[0] + r[0], acc[1] + r[1], acc[2] + r[2], acc[3] + s
 
-        zeros = jnp.zeros((SUB, LANE), jnp.float32)
-        acc = jax.lax.fori_loop(0, n_samples, sample_body, (zeros, zeros, zeros))
+        zeros = vzero
+        acc = jax.lax.fori_loop(0, n_samples, sample_body,
+                                (zeros, zeros, zeros, zeros))
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
         out_ref[0, 2] = acc[2]
+        seg_ref[0, 0] = acc[3]
 
     return kernel
 
@@ -327,31 +342,56 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
-def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
-                          start_sample, n_samples: int) -> jnp.ndarray:
-    """SUM of `n_samples` progressive 1-spp frames, full image: (n_pixels, 3) f32.
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "n_rays"))
+def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
+                                start_sample, n_samples: int,
+                                pid_base=0, n_rays: int | None = None):
+    """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
-    `table` is pack_scene(scene); `start_sample` the first frame index. Divide by
-    n_samples for the mean; streams are the reference's, keyed (pixel, frame).
+    Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);
+    `start_sample` the first frame index; streams are the reference's, keyed
+    (ABSOLUTE pixel, frame). Padded lanes (pixel id ≥ n_pixels) are excluded from
+    the segment count.
+
+    `pid_base`/`n_rays` support shard_map tiling: a device rendering pixels
+    [pid_base, pid_base + n_rays) passes its offset so RNG/camera stay keyed on
+    absolute ids (bitwise layout invariance).
     """
-    n_pix = cfg.n_pixels
+    n_pix = n_rays if n_rays is not None else cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples)
-    out = pl.pallas_call(
+    out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, SUB, LANE), jnp.float32),
+        ),
         interpret=_interpret(),
-    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1))
+    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1),
+      jnp.asarray(pid_base, jnp.int32).reshape(1))
     img = out.transpose(0, 2, 3, 1).reshape(nb * BLOCK, 3)
-    return img[:n_pix]
+    seg_flat = segs.reshape(nb * BLOCK)
+    return img[:n_pix], jnp.sum(seg_flat[:n_pix])
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
+                          start_sample, n_samples: int) -> jnp.ndarray:
+    """SUM of `n_samples` progressive 1-spp frames: (n_pixels, 3) f32."""
+    img, _ = render_samples_pallas_stats(table, cfg, start_sample, n_samples)
+    return img
 
 
 def render_pallas(scene: Scene, cfg: RenderConfig, total_spp: int,

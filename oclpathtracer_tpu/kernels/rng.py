@@ -38,7 +38,11 @@ def u32_to_f32(u):
 
 
 def as_u32(x):
-    """Reinterpret signed 32-bit as uint32 (bitcast — Mosaic-safe, value mod 2^32)."""
+    """Reinterpret signed 32-bit as uint32.
+
+    Mosaic's tpu.bitcast only accepts VECTORS — scalars must stay in wrapping
+    int32 arithmetic (two's-complement ≡ u32 for +, *) until they combine with a
+    vector. Only call this on array values inside kernels."""
     x = jnp.asarray(x)
     if x.dtype == _U32:
         return x
@@ -51,8 +55,18 @@ def hash_u32(x):
 
 
 def seed_from(pixel_id, frame):
-    """Per-pixel stream seed (GenerateColors.cl:308)."""
-    return (as_u32(pixel_id) + hash_u32(frame)).astype(_U32)
+    """Per-pixel stream seed (GenerateColors.cl:308): pixel_id + hash(frame).
+
+    `pixel_id` may be an i32 VECTOR and `frame` an i32 SCALAR (the Pallas case):
+    the LCG hash and the add are computed in wrapping int32 — bit-identical to
+    u32 — and only the final vector is bitcast to uint32."""
+    pid = jnp.asarray(pixel_id)
+    f = jnp.asarray(frame)
+    if pid.dtype == _U32 and f.dtype == _U32:
+        return (pid + hash_u32(f)).astype(_U32)
+    h = jnp.int32(1103515245) * f.astype(jnp.int32) + jnp.int32(12345)
+    s = pid.astype(jnp.int32) + h
+    return jax.lax.bitcast_convert_type(s, _U32)
 
 
 def next_float(state):

@@ -1,0 +1,340 @@
+"""Path-regeneration megakernel — the TPU-native "wavefront" integrator.
+
+The problem with a fixed bounce loop (kernels/megakernel.py): lanes whose paths
+terminate early (miss, dead pdf) idle as masked no-ops for the remaining bounces.
+On the Cornell workload the mean path length is ~3 of up to 16 bounces — >5×
+wasted lanes at high bounce counts.
+
+GPUs fix this with wavefront + stream compaction (per-bounce kernels, global queues
+of surviving rays). On TPU, global compaction would round-trip the full ray state
+through HBM every bounce — exactly the traffic the fused kernel exists to avoid —
+and the vector ISA has no scatter to build queues with (SURVEY.md §7 hard-part 1).
+
+The TPU-native answer is IN-LANE PATH REGENERATION: each lane owns its pixel's
+whole sample STREAM. One while_loop steps "trace one segment" per iteration; when
+a lane's path terminates it immediately re-seeds and starts the pixel's next
+progressive sample in the same iteration stream. Occupancy stays ~100% until the
+tail; there is no cross-lane communication at all. Iterations ≈ total segments /
+lanes instead of samples × bounces.
+
+Semantics, streams, and outputs are identical to kernels/megakernel.py (reference
+RNG per (pixel, frame); per-path draw order camera×2 then 2/bounce; radiance
+clamped at path end per GenerateColors.cl:260) — pinned by tests against the same
+parity integrator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from oclpathtracer_tpu.config import RenderConfig
+from oclpathtracer_tpu.kernels import rng as krng
+from oclpathtracer_tpu.kernels.megakernel import (
+    BLOCK,
+    INV_PI,
+    LANE,
+    SUB,
+    TWO_PI,
+    T_MAX,
+    _add3,
+    _camera_constants,
+    _cross3,
+    _dot3,
+    _interpret,
+    _neg3,
+    _normalize3,
+    _safe_denom,
+    _scale3,
+    _where3,
+    pack_scene,
+)
+from oclpathtracer_tpu.scene.types import Scene
+
+
+def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
+    W, H = cfg.width, cfg.height
+    bounces = cfg.bounces
+    view, hol, upd, angle, eye = _camera_constants(cfg)
+    aspect = np.float32(W / H)
+    bg = tuple(np.float32(c) for c in cfg.bg_color)
+    eboost = np.float32(cfg.emissive_boost)
+    roffset = np.float32(cfg.ray_offset)
+
+    def kernel(table_ref, start_ref, out_ref, seg_ref):
+        b = pl.program_id(0)
+        sub_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
+        lane_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
+        pid = b * BLOCK + sub_ids * LANE + lane_ids
+        px = (pid % W).astype(jnp.float32)
+        py = (pid // W).astype(jnp.float32)
+
+        # Mosaic layout note: loop-carried tiles must NOT be splat constants
+        # (jnp.zeros / broadcast_to get a "replicated" layout, the loop body
+        # produces a concrete one, and layout inference rejects the relayout).
+        # vzero is iota-derived — concretely laid out — and seeds every carry.
+        vzero = pid.astype(jnp.float32) * 0.0  # varies in BOTH dims -> {0,0} layout
+        vone = vzero + 1.0
+
+        zeros = vzero
+        ones = vone
+        izeros = pid * 0
+
+        def camera_ray(state):
+            state, u1 = krng.next_float(state)
+            state, u2 = krng.next_float(state)
+            x = px + u1 - 0.5
+            y = py + u2 - 0.5
+            sx = (2.0 * ((x + 0.5) * (1.0 / W)) - 1.0) * angle * aspect
+            sy = -(1.0 - 2.0 * ((y + 0.5) * (1.0 / H))) * angle
+            d = _normalize3((sx * hol[0] - sy * upd[0] + view[0],
+                             sx * hol[1] - sy * upd[1] + view[1],
+                             sx * hol[2] - sy * upd[2] + view[2]))
+            o = (vzero + eye[0],
+                 vzero + eye[1],
+                 vzero + eye[2])
+            return state, o, d
+
+        # Per-lane state:
+        #   s_idx: which progressive sample this lane is on (0..n_samples)
+        #   b_idx: current bounce within the path
+        #   live:  path in flight
+        #   rad:   CURRENT path's radiance (flushed to acc with the reference's
+        #          max(.,0) clamp when the path ends)
+        def init_path(s_idx):
+            state = krng.seed_from(pid, start_ref[0] + s_idx)
+            state, o, d = camera_ray(state)
+            return state, o, d
+
+        state0, o0, d0 = init_path(izeros)
+
+        # live is carried as an f32 0/1 mask (Mosaic: no carried vector<i1>).
+        carry0 = dict(
+            s_idx=izeros, b_idx=izeros,
+            live_f=vone,
+            state=state0, o=o0, d=d0,
+            mask=(ones, ones, ones),
+            rad=(zeros, zeros, zeros),
+            acc=(zeros, zeros, zeros),
+            segs=zeros,
+        )
+        keys = tuple(sorted(carry0.keys()))
+
+        def pack(c):
+            return tuple(c[k] for k in keys)
+
+        def unpack(t):
+            return dict(zip(keys, t))
+
+        def cond(t):
+            c = unpack(t)
+            return jnp.sum(c["live_f"]) > 0.0
+
+        def step(t):
+            c = unpack(t)
+            o, d, mask, rad = c["o"], c["d"], c["mask"], c["rad"]
+            state = c["state"]
+            live = c["live_f"] > 0.5
+            s_idx, b_idx = c["s_idx"], c["b_idx"]
+            acc, segs = c["acc"], c["segs"]
+
+            segs = segs + c["live_f"]
+
+            # ---- one traced segment (identical math to megakernel bounce) ----
+            best_t = vzero + T_MAX
+            bn = (zeros, zeros, zeros)
+            balb = (zeros, zeros, zeros)
+            bemi = (zeros, zeros, zeros)
+            brough = zeros
+            bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body(j, tc):
+                best_t, bn, balb, bemi, brough, bmty = tc
+                p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+                e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+                e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+                pvec = _cross3(d, e2)
+                det = _dot3(e1, pvec)
+                front = det >= 1e-8
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+                u = _dot3(tvec, pvec) * inv_det
+                qvec = _cross3(tvec, e1)
+                v = _dot3(d, qvec) * inv_det
+                t = _dot3(e2, qvec) * inv_det
+                sel = (front & (u >= 0.0) & (u <= 1.0)
+                       & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t < best_t))
+
+                def bc(x):
+                    return vzero + x
+
+                best_t = jnp.where(sel, t, best_t)
+                bn = _where3(sel, (bc(table_ref[j, 9]), bc(table_ref[j, 10]),
+                                   bc(table_ref[j, 11])), bn)
+                balb = _where3(sel, (bc(table_ref[j, 12]), bc(table_ref[j, 13]),
+                                     bc(table_ref[j, 14])), balb)
+                bemi = _where3(sel, (bc(table_ref[j, 15]), bc(table_ref[j, 16]),
+                                     bc(table_ref[j, 17])), bemi)
+                brough = jnp.where(sel, table_ref[j, 18], brough)
+                bmty = jnp.where(sel, table_ref[j, 19], bmty)
+                return best_t, bn, balb, bemi, brough, bmty
+
+            best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
+                0, n_tris, tri_body, (best_t, bn, balb, bemi, brough, bmty))
+            hit = best_t < T_MAX
+
+            miss = live & ~hit
+            rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
+                   rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
+                   rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
+            on_path = live & hit
+
+            rad = (rad[0] + jnp.where(on_path, mask[0] * bemi[0] * eboost, 0.0),
+                   rad[1] + jnp.where(on_path, mask[1] * bemi[1] * eboost, 0.0),
+                   rad[2] + jnp.where(on_path, mask[2] * bemi[2] * eboost, 0.0))
+
+            n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
+            wo = _neg3(d)
+
+            state, ud1 = krng.next_float(state)
+            state, ud2 = krng.next_float(state)
+
+            use_y = jnp.abs(n[0]) > 0.001
+            axis = _where3(use_y, (zeros, ones, zeros), (ones, zeros, zeros))
+            tt = _normalize3(_cross3(axis, n))
+            ss = _cross3(n, tt)
+
+            phi = TWO_PI * ud1
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+
+            sin_d = jnp.sqrt(ud2)
+            cos_d = jnp.sqrt(1.0 - ud2)
+            wi_d = _normalize3(_add3(_add3(
+                _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
+                _scale3(n, cos_d)))
+            pdf_d = _dot3(wi_d, n) * INV_PI
+            f_d = _scale3(balb, INV_PI)
+
+            r2 = brough * brough
+            cos_h = jnp.sqrt(
+                (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
+            sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
+            wh = _normalize3(_add3(_add3(
+                _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
+                _scale3(n, cos_h)))
+            wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
+            same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
+            denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
+            d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
+            pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
+            fs_scalar = d_ndf / _safe_denom(
+                4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0
+            f_s = _scale3(balb, fs_scalar)
+            pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
+            f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
+
+            bspec = bmty >= 1.5
+            wi = _where3(bspec, wi_s, wi_d)
+            pdf = jnp.where(bspec, pdf_s, pdf_d)
+            f = _where3(bspec, f_s, f_d)
+
+            survive = on_path & (pdf > 0.0)
+            safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
+            factor = _dot3(wi, n) / safe_pdf
+            mask = (jnp.where(survive, mask[0] * f[0] * factor, mask[0]),
+                    jnp.where(survive, mask[1] * f[1] * factor, mask[1]),
+                    jnp.where(survive, mask[2] * f[2] * factor, mask[2]))
+
+            hitp = _add3(o, _scale3(d, best_t))
+            o = _add3(hitp, _scale3(wi, roffset))
+            d = _where3(survive, wi, d)
+
+            b_idx = b_idx + 1
+            # Path terminates on: miss, dead pdf, or the bounce budget.
+            path_done = live & (~survive | (b_idx >= bounces))
+
+            # ---- flush finished path into the accumulator (max(rad,0) clamp,
+            # GenerateColors.cl:260), then regenerate in-lane ----
+            acc = (acc[0] + jnp.where(path_done, jnp.maximum(rad[0], 0.0), 0.0),
+                   acc[1] + jnp.where(path_done, jnp.maximum(rad[1], 0.0), 0.0),
+                   acc[2] + jnp.where(path_done, jnp.maximum(rad[2], 0.0), 0.0))
+
+            s_next = s_idx + path_done.astype(jnp.int32)
+            regen = path_done & (s_next < n_samples)
+            live = (live & ~path_done) | regen
+            s_idx = s_next
+            b_idx = jnp.where(path_done, 0, b_idx)
+            rad = _where3(path_done, (zeros, zeros, zeros), rad)
+            mask = _where3(path_done, (ones, ones, ones), mask)
+
+            new_state, new_o, new_d = init_path(s_idx)
+            state = jnp.where(regen, new_state, state)
+            o = _where3(regen, new_o, o)
+            d = _where3(regen, new_d, d)
+
+            c.update(s_idx=s_idx, b_idx=b_idx, live_f=jnp.where(live, vone, vzero),
+                     state=state, o=o, d=d,
+                     mask=mask, rad=rad, acc=acc, segs=segs)
+            return pack(c)
+
+        out = unpack(jax.lax.while_loop(cond, step, pack(carry0)))
+        acc = out["acc"]
+        out_ref[0, 0] = acc[0]
+        out_ref[0, 1] = acc[1]
+        out_ref[0, 2] = acc[2]
+        seg_ref[0, 0] = out["segs"]
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
+                                   start_sample, n_samples: int):
+    """SUM of n_samples frames via path regeneration + traced-segment count."""
+    n_pix = cfg.n_pixels
+    nb = pl.cdiv(n_pix, BLOCK)
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples)
+    out, segs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, SUB, LANE), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1))
+    img = out.transpose(0, 2, 3, 1).reshape(nb * BLOCK, 3)
+    seg_flat = segs.reshape(nb * BLOCK)
+    return img[:n_pix], jnp.sum(seg_flat[:n_pix])
+
+
+def render_wavefront(scene: Scene, cfg: RenderConfig, total_spp: int,
+                     samples_per_call: int = 0) -> jnp.ndarray:
+    """Progressive mean image via the path-regeneration kernel."""
+    table = pack_scene(scene)
+    chunk = samples_per_call or total_spp
+    acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    s = 0
+    while s < total_spp:
+        n = min(chunk, total_spp - s)
+        img, _ = render_samples_wavefront_stats(table, cfg, s, n)
+        acc = acc + img
+        s += n
+    return acc / total_spp

@@ -1,0 +1,75 @@
+"""Multi-host runtime — jax.distributed bring-up and host-spanning meshes.
+
+The reference has no distributed story at all (SURVEY.md §2.3). On TPU pods the
+runtime work is done by `jax.distributed.initialize()` + XLA collectives; this
+module wraps bring-up with the framework's conventions:
+
+  * one GLOBAL 1-D 'tiles' axis across every chip of every host (ICI within a
+    slice, DCN across hosts — XLA routes by mesh position; the only collective in
+    training is the small parameter-gradient psum, so DCN traffic is parameters,
+    never rays);
+  * each host feeds only its addressable shard of the pixel space
+    (host_local_pixel_slice below) — no host ever materializes the full image
+    except for explicit debug gathers;
+  * sample streams key on absolute pixel ids (core/rng.py), so the N-host render
+    is bitwise identical to the 1-host render — verified on the virtual CPU mesh
+    by tests/test_parallel.py, which is exactly the simulation SURVEY.md §4
+    prescribes for multi-node logic without a pod.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh
+
+from oclpathtracer_tpu.parallel.mesh import TILE_AXIS
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Bring up the multi-host runtime (no-op for single-process).
+
+    On Cloud TPU the arguments auto-detect from the metadata server; elsewhere
+    pass them explicitly (coordinator 'host:port', world size, rank).
+    """
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def global_mesh() -> Mesh:
+    """1-D 'tiles' mesh over every chip in the job (all hosts)."""
+    return Mesh(np.asarray(jax.devices()), (TILE_AXIS,))
+
+
+def host_local_pixel_slice(n_pixels: int) -> slice:
+    """The contiguous pixel range this process feeds.
+
+    Pixels shard evenly over the global device order; a host owns the union of
+    its addressable devices' shards, which is contiguous under the 1-D layout.
+    """
+    devs = jax.devices()
+    n_dev = len(devs)
+    if n_pixels % n_dev != 0:
+        raise ValueError(f"{n_pixels} pixels not divisible by {n_dev} devices")
+    per_dev = n_pixels // n_dev
+    local_ids = sorted(d.id for d in jax.local_devices())
+    lo, hi = local_ids[0], local_ids[-1]
+    if local_ids != list(range(lo, hi + 1)):
+        raise ValueError("host's devices are not contiguous in the global order")
+    return slice(lo * per_dev, (hi + 1) * per_dev)
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0

@@ -71,3 +71,67 @@ def test_non_block_aligned_image(scene):
     img_j = np.asarray(render_sample_ref(scene, cfg, 0))
     assert img_k.shape == (576, 3)
     np.testing.assert_allclose(img_k, img_j, rtol=1e-4, atol=1e-4)
+
+
+# ---------------- BVH megakernel ----------------
+
+def test_bvh_megakernel_matches_parity(scene):
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, render_samples_bvh_stats)
+
+    table, nf, ni = pack_bvh_scene(scene, leaf_size=4)
+    img_k, segs = render_samples_bvh_stats(table, nf, ni, CFG, 0, 1, max_leaf=4)
+    img_j = np.asarray(render_sample_ref(scene, CFG, 0))
+    np.testing.assert_allclose(np.asarray(img_k), img_j, rtol=1e-4, atol=1e-4)
+    assert float(segs) > CFG.n_pixels  # at least the primary rays
+
+
+def test_bvh_megakernel_segments_match_linear(scene):
+    """Both kernels trace identical paths -> identical segment counts."""
+    from oclpathtracer_tpu.kernels.megakernel import render_samples_pallas_stats
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, render_samples_bvh_stats)
+
+    table_lin = pack_scene(scene)
+    _, segs_lin = render_samples_pallas_stats(table_lin, CFG, 0, 2)
+    table, nf, ni = pack_bvh_scene(scene, leaf_size=4)
+    _, segs_bvh = render_samples_bvh_stats(table, nf, ni, CFG, 0, 2, max_leaf=4)
+    assert float(segs_lin) == float(segs_bvh)
+
+
+def test_bvh_megakernel_large_scene():
+    """A 300+-triangle procedural scene renders finite, lit images."""
+    from oclpathtracer_tpu.scene.procgen import sphere_field
+    from oclpathtracer_tpu.kernels.bvh_megakernel import render_bvh
+
+    scene = sphere_field(n_spheres=3, subdivisions=1, seed=2)
+    cfg = RenderConfig(
+        width=32, height=32, bounces=4,
+        camera=CFG.camera.__class__(eye=(0.0, 3.0, 9.0)))
+    img = np.asarray(render_bvh(scene, cfg, total_spp=2, leaf_size=8))
+    assert np.isfinite(img).all() and img.min() >= 0.0
+    assert img.mean() > 0.01
+
+
+# ---------------- path-regeneration (wavefront) kernel ----------------
+
+def test_wavefront_bitwise_matches_megakernel(scene):
+    from oclpathtracer_tpu.kernels.wavefront import render_samples_wavefront_stats
+    from oclpathtracer_tpu.kernels.megakernel import render_samples_pallas_stats
+
+    table = pack_scene(scene)
+    img_w, segs_w = render_samples_wavefront_stats(table, CFG, 0, 3)
+    img_m, segs_m = render_samples_pallas_stats(table, CFG, 0, 3)
+    assert float(segs_w) == float(segs_m)
+    np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_m))
+
+
+def test_wavefront_start_offset(scene):
+    from oclpathtracer_tpu.kernels.wavefront import render_samples_wavefront_stats
+
+    table = pack_scene(scene)
+    a, _ = render_samples_wavefront_stats(table, CFG, 0, 2)
+    b, _ = render_samples_wavefront_stats(table, CFG, 2, 2)
+    ab, _ = render_samples_wavefront_stats(table, CFG, 0, 4)
+    np.testing.assert_allclose(np.asarray(a) + np.asarray(b), np.asarray(ab),
+                               rtol=1e-5, atol=1e-5)

@@ -61,3 +61,17 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_megakernel_bitwise_matches_single(scene, cpu_devices):
+    """The Pallas kernel under shard_map (absolute pid_base per device) must be
+    bitwise identical to the single-device kernel."""
+    from oclpathtracer_tpu.kernels.megakernel import pack_scene, render_samples_pallas
+    from oclpathtracer_tpu.parallel.sharded_pallas import render_pallas_sharded
+
+    cfg = RenderConfig(width=64, height=32, bounces=4)  # 2048 px / 8 dev = 256
+    mesh = default_mesh(cpu_devices)
+    img_sh = render_pallas_sharded(scene, cfg, mesh, total_spp=2)
+    table = pack_scene(scene)
+    img_1 = render_samples_pallas(table, cfg, 0, 2) / 2
+    np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
