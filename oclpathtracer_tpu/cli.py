@@ -71,6 +71,19 @@ def _cmd_render(args) -> int:
         from oclpathtracer_tpu.integrators.ao import render_ao
 
         img = render_ao(scene, cfg, rng.make_key(cfg.seed), spp=args.spp)
+    elif args.integrator == "ao-pallas":
+        from oclpathtracer_tpu.kernels.fast_integrators import render_ao_pallas
+        from oclpathtracer_tpu.kernels.megakernel import pack_scene
+
+        img = render_ao_pallas(pack_scene(scene), cfg, 0, args.spp) / args.spp
+    elif args.integrator == "direct-pallas":
+        from oclpathtracer_tpu.kernels.fast_integrators import (
+            pack_lights, render_direct_pallas)
+        from oclpathtracer_tpu.kernels.megakernel import pack_scene
+
+        lt, area = pack_lights(scene)
+        img = render_direct_pallas(pack_scene(scene), lt, area, cfg, 0,
+                                   args.spp) / args.spp
     elif args.integrator == "direct":
         from oclpathtracer_tpu.core import rng
         from oclpathtracer_tpu.integrators.direct import render_direct
@@ -120,7 +133,7 @@ def main(argv=None) -> int:
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--integrator", default="pallas",
                    choices=["pallas", "wavefront", "bvh", "path", "primary",
-                            "ao", "direct"])
+                            "ao", "ao-pallas", "direct", "direct-pallas"])
     r.add_argument("--output", "-o", default="render.png")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)

@@ -22,15 +22,23 @@ DEFAULT_AO_RADIUS = 1.5  # world units; the Cornell box spans ~5.6
 
 
 def render_ao_sample(scene: Scene, cfg: RenderConfig, sample_idx, key: jax.Array,
-                     pixel_ids=None, ao_radius: float = DEFAULT_AO_RADIUS):
-    """One 1-spp AO sample: 1.0 on miss, visibility of one cosine sample on hit."""
+                     pixel_ids=None, ao_radius: float = DEFAULT_AO_RADIUS,
+                     uniforms=None):
+    """One 1-spp AO sample: 1.0 on miss, visibility of one cosine sample on hit.
+
+    `uniforms` ((N, 4), optional) overrides the threefry draws — used by the
+    parity twin (render_ao_sample_ref) and the Pallas AO kernel's tests.
+    """
     if pixel_ids is None:
         pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     px = pixel_ids % cfg.width
     py = pixel_ids // cfg.width
 
-    skey = rng.sample_key(key, sample_idx)
-    us = rng.pixel_uniforms(skey, pixel_ids, 4)
+    if uniforms is None:
+        skey = rng.sample_key(key, sample_idx)
+        us = rng.pixel_uniforms(skey, pixel_ids, 4)
+    else:
+        us = uniforms
 
     o, d = generate_rays(px, py, cfg.width, cfg.height, us[:, 0], us[:, 1], cfg.camera)
     rec = intersect_world(o, d, scene.geometry)
@@ -59,3 +67,16 @@ def render_ao(scene: Scene, cfg: RenderConfig, key: jax.Array, spp: int = 64,
         jnp.arange(spp, dtype=jnp.int32),
     )
     return acc / spp
+
+
+def render_ao_sample_ref(scene: Scene, cfg: RenderConfig, frame_idx,
+                         pixel_ids=None, ao_radius: float = DEFAULT_AO_RADIUS):
+    """AO sample driven by the REFERENCE RNG streams (draw order: jitter x, y,
+    phi, sinThetaSqr) — the bit-comparison twin of the Pallas AO kernel."""
+    from oclpathtracer_tpu.integrators.parity import ref_uniforms
+
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    us = ref_uniforms(pixel_ids, frame_idx, 4)
+    return render_ao_sample(scene, cfg, frame_idx, None, pixel_ids=pixel_ids,
+                            ao_radius=ao_radius, uniforms=us)

@@ -56,15 +56,22 @@ def sample_lights(scene: Scene, u_tri, u1, u2):
 
 
 def render_direct_sample(scene: Scene, cfg: RenderConfig, sample_idx, key: jax.Array,
-                         pixel_ids=None):
-    """One 1-spp sample of emitted + NEE direct lighting."""
+                         pixel_ids=None, uniforms=None):
+    """One 1-spp sample of emitted + NEE direct lighting.
+
+    `uniforms` ((N, 5), optional) overrides the threefry draws — used by the
+    parity twin and the Pallas direct kernel's tests.
+    """
     if pixel_ids is None:
         pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
     px = pixel_ids % cfg.width
     py = pixel_ids // cfg.width
 
-    skey = rng.sample_key(key, sample_idx)
-    us = rng.pixel_uniforms(skey, pixel_ids, 5)
+    if uniforms is None:
+        skey = rng.sample_key(key, sample_idx)
+        us = rng.pixel_uniforms(skey, pixel_ids, 5)
+    else:
+        us = uniforms
 
     o, d = generate_rays(px, py, cfg.width, cfg.height, us[:, 0], us[:, 1], cfg.camera)
     rec = intersect_world(o, d, scene.geometry)
@@ -121,3 +128,17 @@ def render_direct(scene: Scene, cfg: RenderConfig, key: jax.Array, spp: int = 16
         jnp.arange(spp, dtype=jnp.int32),
     )
     return acc / spp
+
+
+def render_direct_sample_ref(scene: Scene, cfg: RenderConfig, frame_idx,
+                             pixel_ids=None):
+    """Direct-NEE sample driven by the REFERENCE RNG streams (5 draws/pixel:
+    jitter x, y, light-tri select, light u, light v) — bit-comparison twin of the
+    Pallas direct kernel."""
+    from oclpathtracer_tpu.integrators.parity import ref_uniforms
+
+    if pixel_ids is None:
+        pixel_ids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    us = ref_uniforms(pixel_ids, frame_idx, 5)
+    return render_direct_sample(scene, cfg, frame_idx, None, pixel_ids=pixel_ids,
+                                uniforms=us)

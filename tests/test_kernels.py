@@ -135,3 +135,27 @@ def test_wavefront_start_offset(scene):
     ab, _ = render_samples_wavefront_stats(table, CFG, 0, 4)
     np.testing.assert_allclose(np.asarray(a) + np.asarray(b), np.asarray(ab),
                                rtol=1e-5, atol=1e-5)
+
+
+# ---------------- AO / direct-NEE kernels ----------------
+
+def test_ao_kernel_matches_ref_twin(scene):
+    from oclpathtracer_tpu.integrators.ao import render_ao_sample_ref
+    from oclpathtracer_tpu.kernels.fast_integrators import render_ao_pallas
+
+    img_k = np.asarray(render_ao_pallas(pack_scene(scene), CFG, 0, 1))
+    img_j = np.asarray(render_ao_sample_ref(scene, CFG, 0))
+    np.testing.assert_allclose(img_k, img_j, rtol=1e-5, atol=1e-5)
+    assert 0.3 < img_k.mean() < 1.0  # partially occluded scene
+
+
+def test_direct_kernel_matches_ref_twin(scene):
+    from oclpathtracer_tpu.integrators.direct import render_direct_sample_ref
+    from oclpathtracer_tpu.kernels.fast_integrators import (
+        pack_lights, render_direct_pallas)
+
+    lt, area = pack_lights(scene)
+    img_k = np.asarray(render_direct_pallas(pack_scene(scene), lt, area, CFG, 0, 2))
+    img_j = sum(np.asarray(render_direct_sample_ref(scene, CFG, i)) for i in range(2))
+    np.testing.assert_allclose(img_k, img_j, rtol=1e-4, atol=1e-4)
+    assert img_k.mean() > 0.1  # lit
