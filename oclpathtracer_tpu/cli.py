@@ -43,6 +43,13 @@ def _cmd_render(args) -> int:
     cfg = RenderConfig(width=args.width, height=args.height, bounces=args.bounces,
                        seed=args.seed)
 
+    profile_ctx = None
+    if args.profile:
+        from oclpathtracer_tpu.runtime.profiling import trace
+
+        profile_ctx = trace(args.profile)
+        profile_ctx.__enter__()
+
     t0 = time.perf_counter()
     if args.integrator == "pallas":
         from oclpathtracer_tpu.kernels.megakernel import render_pallas
@@ -98,6 +105,9 @@ def _cmd_render(args) -> int:
         return 2
     img = np.asarray(img)
     dt = time.perf_counter() - t0
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
+        print(f"profile trace written to {args.profile}")
     print(f"rendered {cfg.width}x{cfg.height} spp={args.spp} "
           f"integrator={args.integrator} in {dt:.2f}s mean={img.mean():.4f}")
 
@@ -139,6 +149,8 @@ def main(argv=None) -> int:
     r.add_argument("--checkpoint-every", type=int, default=0)
     r.add_argument("--reference-quirk", action="store_true",
                    help="reproduce the reference's double-gamma PPM export")
+    r.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a device-timeline trace (xprof) to DIR")
 
     sub.add_parser("bench", help="run the headline benchmark")
 

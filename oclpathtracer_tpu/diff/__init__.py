@@ -20,8 +20,10 @@ from oclpathtracer_tpu.diff.inverse import (
     apply_params,
     extract_params,
     make_loss_fn,
+    make_optax_train_step,
     make_train_step,
     make_sharded_train_step,
+    make_unbiased_loss_fn,
 )
 
 __all__ = [
@@ -31,6 +33,8 @@ __all__ = [
     "apply_params",
     "extract_params",
     "make_loss_fn",
+    "make_unbiased_loss_fn",
+    "make_optax_train_step",
     "make_train_step",
     "make_sharded_train_step",
 ]

@@ -88,8 +88,38 @@ def make_loss_fn(scene: Scene, cfg: RenderConfig, spp: int) -> Callable:
     return loss
 
 
+def make_unbiased_loss_fn(scene: Scene, cfg: RenderConfig, spp: int) -> Callable:
+    """Pairwise loss with unbiased value AND gradient.
+
+    Plain MSE of a Monte-Carlo render is biased: E[(X(θ)−t)²] = (E X − t)² +
+    Var X(θ), so gradient descent also minimizes estimator VARIANCE — it pushes
+    bright/high-variance albedos down even when the mean image already matches.
+    Rendering two INDEPENDENT sample sets A, B and using
+
+        L = mean((A − t) · (B − t))
+
+    gives E[L] = ||E X − t||²/N exactly (the variance term cancels because A ⊥ B)
+    and dL/dθ = mean((A−t)·∂B + (B−t)·∂A), an unbiased estimate of the true MSE
+    gradient. This is the correct training loss; make_loss_fn's CRN form remains
+    for finite-difference gradient tests.
+    """
+
+    def loss(params: SceneParams, target, key, pixel_ids=None):
+        ka, kb = jax.random.split(key)
+        sc = apply_params(scene, params)
+        a = render_spp(sc, cfg, spp, ka, pixel_ids)
+        b = render_spp(sc, cfg, spp, kb, pixel_ids)
+        return jnp.mean((a - target) * (b - target))
+
+    return loss
+
+
 def make_train_step(scene: Scene, cfg: RenderConfig, spp: int, lr: float):
-    """Single-device SGD step: (params, target, step_idx, key) → (params, loss)."""
+    """Single-device SGD step: (params, target, step_idx, key) → (params, loss).
+
+    Plain SGD; for the ill-conditioned albedo problem (wall albedos see ~100×
+    the gradient of small faces) prefer make_optax_train_step with adam.
+    """
     loss_fn = make_loss_fn(scene, cfg, spp)
 
     @jax.jit
@@ -103,6 +133,46 @@ def make_train_step(scene: Scene, cfg: RenderConfig, spp: int, lr: float):
         return params, loss
 
     return step
+
+
+def make_optax_train_step(scene: Scene, cfg: RenderConfig, spp: int, optimizer,
+                          clip01: bool = True, unbiased: bool = True):
+    """Optimizer-driven step using any optax.GradientTransformation.
+
+    Returns (step, opt_state0(params)) where
+    step(params, opt_state, target, step_idx, key) → (params, opt_state, loss).
+    `clip01` projects albedo/emissive leaves back into their physical ranges
+    (albedo ∈ [0,1], emissive ≥ 0) after the update. `unbiased` (default) uses
+    the pairwise two-sample loss whose gradient doesn't chase estimator variance
+    (see make_unbiased_loss_fn) — the biased CRN loss is only right for
+    finite-difference testing.
+    """
+    loss_fn = (make_unbiased_loss_fn if unbiased else make_loss_fn)(scene, cfg, spp)
+
+    def project(params: SceneParams) -> SceneParams:
+        if not clip01:
+            return params
+        albedo = None if params.albedo is None else jnp.clip(params.albedo, 0.0, 1.0)
+        emissive = None if params.emissive is None else jnp.maximum(params.emissive, 0.0)
+        return params._replace(albedo=albedo, emissive=emissive)
+
+    @jax.jit
+    def step(params: SceneParams, opt_state, target, step_idx, key):
+        skey = jax.random.fold_in(key, step_idx)
+        loss, grads = jax.value_and_grad(loss_fn)(params, target, skey)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = project(optax_apply(params, updates))
+        return params, opt_state, loss
+
+    return step, optimizer.init
+
+
+def optax_apply(params, updates):
+    """optax.apply_updates that tolerates None leaves."""
+    return jax.tree.map(
+        lambda p, u: None if p is None else p + u, params, updates,
+        is_leaf=lambda x: x is None,
+    )
 
 
 def make_sharded_train_step(scene: Scene, cfg: RenderConfig, mesh: Mesh,

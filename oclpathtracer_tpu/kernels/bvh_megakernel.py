@@ -325,9 +325,11 @@ def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # start_sample
-            pl.BlockSpec(memory_space=pltpu.ANY),    # tri table
-            pl.BlockSpec(memory_space=pltpu.ANY),    # nodes_f
-            pl.BlockSpec(memory_space=pltpu.ANY),    # nodes_i
+            # Whole tables resident in VMEM: direct (dynamically indexed) scalar
+            # loads are legal from VMEM/SMEM only — ANY would require async_copy.
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri table
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes_f
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes_i
         ],
         out_specs=(
             pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
