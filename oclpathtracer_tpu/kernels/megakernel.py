@@ -128,7 +128,8 @@ def _camera_constants(cfg: RenderConfig):
             tuple(np.float32(v) for v in cfg.camera.eye))
 
 
-def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
+def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
+                 tri_unroll: int = 1):
     """Build the kernel body with all static config baked in."""
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
@@ -234,7 +235,8 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
 
                 best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
                     0, n_tris, tri_body,
-                    (best_t, bn, balb, bemi, brough, bmty))
+                    (best_t, bn, balb, bemi, brough, bmty),
+                    unroll=tri_unroll)
                 hit = best_t < T_MAX
 
                 # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
@@ -342,10 +344,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "n_rays"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "n_samples", "n_rays", "tri_unroll"))
 def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
                                 start_sample, n_samples: int,
-                                pid_base=0, n_rays: int | None = None):
+                                pid_base=0, n_rays: int | None = None,
+                                tri_unroll: int = 1):
     """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
     Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);
@@ -359,7 +363,7 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     """
     n_pix = n_rays if n_rays is not None else cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
-    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples)
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),

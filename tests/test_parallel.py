@@ -75,3 +75,16 @@ def test_sharded_megakernel_bitwise_matches_single(scene, cpu_devices):
     table = pack_scene(scene)
     img_1 = render_samples_pallas(table, cfg, 0, 2) / 2
     np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
+
+
+def test_multihost_helpers_single_process(cpu_devices):
+    from oclpathtracer_tpu.parallel import multihost
+
+    mesh = multihost.global_mesh()
+    assert mesh.shape["tiles"] == len(jax.devices())
+    s = multihost.host_local_pixel_slice(1024)
+    assert (s.start, s.stop) == (0, 1024)  # single process owns everything
+    with pytest.raises(ValueError):
+        multihost.host_local_pixel_slice(1001)  # not divisible
+    assert multihost.process_count() == 1
+    assert multihost.is_coordinator()
