@@ -19,9 +19,10 @@ TPU's vector ISA (SURVEY.md §7 hard-part 2):
     coherent tiles prune like a scalar tracer, incoherent tiles degrade gracefully
     toward the brute-force cost.
 
-Build: top-down median split on the longest centroid axis (exact median, not SAH —
-adequate until scenes get heavily non-uniform; the builder is host-side numpy and
-swappable).
+Build: top-down binned SAH (16 bins over the longest centroid axis, surface-area
+cost SA_L·N_L + SA_R·N_R, median-split fallback for degenerate distributions).
+The builder is host-side numpy; on the tile-synchronized traversal a better tree
+directly shrinks the UNION of subtrees an incoherent tile visits.
 """
 
 from __future__ import annotations
@@ -55,6 +56,62 @@ class FlatBVH(NamedTuple):
     @property
     def num_nodes(self) -> int:
         return self.skip.shape[0]
+
+
+_SAH_BINS = 16
+
+
+def _sah_split(idxs: np.ndarray, centroid: np.ndarray,
+               tri_min: np.ndarray, tri_max: np.ndarray):
+    """Binned-SAH split of `idxs`; returns (left_idxs, right_idxs).
+
+    Evaluates 16 uniform centroid bins on the longest centroid axis; the split
+    minimizing SA(L)·N(L) + SA(R)·N(R). Falls back to an exact median split when
+    the centroids are degenerate (zero extent) or SAH puts everything on one side.
+    """
+    c = centroid[idxs]
+    ext = c.max(axis=0) - c.min(axis=0)
+    axis = int(np.argmax(ext))
+    key = c[:, axis]
+    lo, hi = float(key.min()), float(key.max())
+
+    def median():
+        mid = len(idxs) // 2
+        part = np.argpartition(key, mid)
+        return idxs[part[:mid]], idxs[part[mid:]]
+
+    if hi - lo < 1e-12:
+        return median()
+
+    bins = np.minimum(
+        ((key - lo) * (_SAH_BINS / (hi - lo))).astype(np.int64), _SAH_BINS - 1)
+    counts = np.bincount(bins, minlength=_SAH_BINS)
+
+    # Per-bin AABBs -> prefix/suffix sweep of surface areas.
+    bmin = np.full((_SAH_BINS, 3), np.inf)
+    bmax = np.full((_SAH_BINS, 3), -np.inf)
+    for a in range(3):
+        np.minimum.at(bmin[:, a], bins, tri_min[idxs, a])
+        np.maximum.at(bmax[:, a], bins, tri_max[idxs, a])
+
+    def areas(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+    lmin = np.minimum.accumulate(bmin, axis=0)
+    lmax = np.maximum.accumulate(bmax, axis=0)
+    rmin = np.minimum.accumulate(bmin[::-1], axis=0)[::-1]
+    rmax = np.maximum.accumulate(bmax[::-1], axis=0)[::-1]
+    nl = np.cumsum(counts)[:-1]                 # tris in bins [0..s]
+    nr = len(idxs) - nl
+    cost = areas(lmin, lmax)[:-1] * nl + areas(rmin, rmax)[1:] * nr
+    # Empty-side splits get infinite cost.
+    cost = np.where((nl == 0) | (nr == 0), np.inf, cost)
+    if not np.isfinite(cost).any():
+        return median()
+    s = int(np.argmin(cost))
+    go_left = bins <= s
+    return idxs[go_left], idxs[~go_left]
 
 
 def build_bvh(geom: Geometry, leaf_size: int = 4) -> FlatBVH:
@@ -91,12 +148,7 @@ def build_bvh(geom: Geometry, leaf_size: int = 4) -> FlatBVH:
             emit.reordered.extend(idxs.tolist())
             emit.tri_cursor += len(idxs)
         else:
-            c = centroid[idxs]
-            axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
-            key = c[:, axis]
-            mid = len(idxs) // 2
-            part = np.argpartition(key, mid)
-            left, right = idxs[part[:mid]], idxs[part[mid:]]
+            left, right = _sah_split(idxs, centroid, tri_min, tri_max)
             emit(left)
             emit(right)
         skips[nid] = len(nodes_min)  # next pre-order node after this subtree

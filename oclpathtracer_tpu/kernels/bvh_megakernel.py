@@ -65,6 +65,12 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8):
     rgeom = reorder_geometry(scene.geometry, bvh)
     rscene = scene._replace(geometry=rgeom)
     table = pack_scene(rscene)
+    # Pad with max_leaf all-zero rows: the kernel's leaf loop always reads a full
+    # leaf_size window [start, start+leaf_size) and masks lanes by k < count —
+    # zero triangles have det == 0 (backface-culled) so the pad rows can never
+    # be selected, and the window stays in-bounds for the last leaf.
+    table = jnp.concatenate(
+        [table, jnp.zeros((leaf_size, table.shape[1]), table.dtype)])
 
     n = bvh.num_nodes
     nodes_f = np.zeros((n, 8), np.float32)
@@ -77,7 +83,16 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8):
     return table, jnp.asarray(nodes_f), jnp.asarray(nodes_i)
 
 
-def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int):
+def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
+                 interleave: int = 0):
+    # Default 1: unlike the linear megakernel, measured speed here is bound by
+    # traversal-loop iteration overhead (scalar bookkeeping + scf region
+    # boundaries), not VPU dependency chains — merged k-stream traversal was
+    # neutral-to-slightly-negative on v5e (8.3 → 7.8 Mrays/s at k=4, 5k tris).
+    # The knob stays for experimentation; output is bitwise-invariant in it.
+    interleave = interleave or 1
+    if n_samples % interleave:
+        raise ValueError(f"interleave {interleave} must divide n_samples")
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
     view, hol, upd, angle, eye = _camera_constants(cfg)
@@ -104,20 +119,28 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int)
         zeros = vzero
         ones = vone
 
-        def nearest_hit(o, d, active_f):
-            """Tile-synchronized stackless BVH traversal. `active_f` is the f32
-            0/1 lane mask (bools must not cross scf boundaries on Mosaic)."""
-            inv_d = tuple(
-                1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20) for c in d)
+        def nearest_hit_multi(rays):
+            """Tile-synchronized stackless BVH traversal, MERGED across the
+            group's `interleave` streams: one while loop carries one scalar node
+            cursor per stream, so the k independent slab-test/any()-reduce chains
+            overlap instead of serializing (the reduce feeding the next cursor is
+            the latency bottleneck of tile-synchronized traversal).
 
-            best_t = vzero + T_MAX
-            bn = (zeros, zeros, zeros)
-            balb = (zeros, zeros, zeros)
-            bemi = (zeros, zeros, zeros)
-            brough = zeros
-            bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
+            rays: list of (o, d, active_f) per stream; active_f is the f32 0/1
+            lane mask (bools must not cross scf boundaries on Mosaic). Returns a
+            list of best-hit tuples."""
+            inv_ds = [tuple(1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20)
+                            for c in d) for (_, d, _) in rays]
 
-            def tri_test(j, tc):
+            def fresh_tc():
+                return (vzero + T_MAX,                      # best_t
+                        (zeros, zeros, zeros),              # bn
+                        (zeros, zeros, zeros),              # balb
+                        (zeros, zeros, zeros),              # bemi
+                        zeros,                              # brough
+                        zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_test(j, tc, o, d, valid=None):
                 best_t, bn, balb, bemi, brough, bmty = tc
                 p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
                 e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
@@ -134,6 +157,8 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int)
                 sel = (front & (u >= 0.0) & (u <= 1.0)
                        & (v >= 0.0) & (u + v <= 1.0)
                        & (t > 0.0) & (t < best_t))
+                if valid is not None:
+                    sel = sel & valid
                 best_t = jnp.where(sel, t, best_t)
 
                 def bc(c):
@@ -149,17 +174,23 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int)
                 bmty = jnp.where(sel, table_ref[j, 19], bmty)
                 return best_t, bn, balb, bemi, brough, bmty
 
-            def cond(c):
-                node = c[0]
-                return node < n_nodes
+            k_streams = len(rays)
 
-            def body(c):
-                node, tc = c
+            def cond(c):
+                alive = c[0][0] < n_nodes
+                for i in range(1, k_streams):
+                    alive = alive | (c[i][0] < n_nodes)
+                return alive
+
+            def step_stream(node, tc, o, d, inv_d, active_f):
+                """One traversal step for one stream (no-op once node == end)."""
+                done = node >= n_nodes
+                nd = jnp.minimum(node, n_nodes - 1)
                 best_t = tc[0]
-                bmin = (nodes_f_ref[node, 0], nodes_f_ref[node, 1],
-                        nodes_f_ref[node, 2])
-                bmax = (nodes_f_ref[node, 3], nodes_f_ref[node, 4],
-                        nodes_f_ref[node, 5])
+                bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
+                        nodes_f_ref[nd, 2])
+                bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
+                        nodes_f_ref[nd, 5])
                 # Slab test per lane.
                 t1 = tuple((bmin[k] - o[k]) * inv_d[k] for k in range(3))
                 t2 = tuple((bmax[k] - o[k]) * inv_d[k] for k in range(3))
@@ -173,31 +204,41 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int)
                     jnp.maximum(t1[2], t2[2]))
                 box_hit = ((t_far >= jnp.maximum(t_near, 0.0))
                            & (t_near < best_t) & (active_f > 0.5))
-                any_hit = jnp.any(box_hit)
+                any_hit = jnp.any(box_hit) & ~done
 
-                skip = nodes_i_ref[node, 0]
-                start = nodes_i_ref[node, 1]
-                count = nodes_i_ref[node, 2]
+                skip = nodes_i_ref[nd, 0]
+                start = nodes_i_ref[nd, 1]
+                count = nodes_i_ref[nd, 2]
                 is_leaf = count > 0
 
                 def do_leaf(tc):
+                    # Full leaf_size window, lanes masked by k < count (the table
+                    # is padded, see pack_bvh_scene) — straight-line unrolled
+                    # vector code instead of a serialized per-triangle lax.cond.
                     def k_body(k, tc2):
-                        return jax.lax.cond(
-                            k < count, lambda t2_: tri_test(start + k, t2_),
-                            lambda t2_: t2_, tc2)
+                        return tri_test(start + k, tc2, o, d, valid=k < count)
 
-                    return jax.lax.fori_loop(0, max_leaf, k_body, tc)
+                    return jax.lax.fori_loop(0, max_leaf, k_body, tc,
+                                             unroll=max_leaf)
 
                 tc = jax.lax.cond(any_hit & is_leaf, do_leaf, lambda t_: t_, tc)
-                node = jnp.where(any_hit & ~is_leaf, node + 1, skip)
-                return node, tc
+                nxt = jnp.where(any_hit & ~is_leaf, nd + 1, skip)
+                return jnp.where(done, node, nxt), tc
 
-            _, tc = jax.lax.while_loop(
-                cond, body,
-                (jnp.int32(0), (best_t, bn, balb, bemi, brough, bmty)))
-            return tc
+            def body(c):
+                out = []
+                for i in range(k_streams):
+                    node, tc = c[i]
+                    o, d, active_f = rays[i]
+                    out.append(step_stream(node, tc, o, d, inv_ds[i], active_f))
+                return tuple(out)
 
-        def trace_one_sample(sample_idx):
+            init = tuple((jnp.int32(0), fresh_tc()) for _ in range(k_streams))
+            final = jax.lax.while_loop(cond, body, init)
+            return [final[i][1] for i in range(k_streams)]
+
+        def start_path(sample_idx):
+            """Seed + camera ray for one progressive frame (path-state tuple)."""
             state = krng.seed_from(pid, sample_idx)
             state, u1 = krng.next_float(state)
             state, u2 = krng.next_float(state)
@@ -211,99 +252,111 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int)
             o = (vzero + eye[0],
                  vzero + eye[1],
                  vzero + eye[2])
+            # active is an f32 0/1 lane mask (no carried vector<i1>)
+            return (o, d, (ones, ones, ones), (zeros, zeros, zeros), vone, state)
 
-            mask = (ones, ones, ones)
-            rad = (zeros, zeros, zeros)
-            active_f = vone  # f32 0/1 lane mask (no carried vector<i1>)
-            segs = zeros
+        def shade_one(path, tc):
+            """Post-traversal part of one bounce for one stream."""
+            o, d, mask, rad, active_f, state = path
+            active = active_f > 0.5
+            best_t, bn, balb, bemi, brough, bmty = tc
+            hit = best_t < T_MAX
+
+            miss = active & ~hit
+            rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
+                   rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
+                   rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
+            active = active & hit
+
+            rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
+                   rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
+                   rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
+
+            n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
+            wo = _neg3(d)
+
+            state, ud1 = krng.next_float(state)
+            state, ud2 = krng.next_float(state)
+
+            use_y = jnp.abs(n[0]) > 0.001
+            axis = _where3(use_y, (zeros, ones, zeros), (ones, zeros, zeros))
+            tt = _normalize3(_cross3(axis, n))
+            ss = _cross3(n, tt)
+
+            phi = TWO_PI * ud1
+            cphi = jnp.cos(phi)
+            sphi = jnp.sin(phi)
+
+            sin_d = jnp.sqrt(ud2)
+            cos_d = jnp.sqrt(1.0 - ud2)
+            wi_d = _normalize3(_add3(_add3(
+                _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
+                _scale3(n, cos_d)))
+            pdf_d = _dot3(wi_d, n) * INV_PI
+            f_d = _scale3(balb, INV_PI)
+
+            r2 = brough * brough
+            cos_h = jnp.sqrt(
+                (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
+            sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
+            wh = _normalize3(_add3(_add3(
+                _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
+                _scale3(n, cos_h)))
+            wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
+            same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
+            denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
+            d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
+            pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
+            fs_scalar = d_ndf / _safe_denom(
+                4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0
+            f_s = _scale3(balb, fs_scalar)
+            pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
+            f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
+
+            bspec = bmty >= 1.5
+            wi = _where3(bspec, wi_s, wi_d)
+            pdf = jnp.where(bspec, pdf_s, pdf_d)
+            f = _where3(bspec, f_s, f_d)
+
+            alive = active & (pdf > 0.0)
+            safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
+            factor = _dot3(wi, n) / safe_pdf
+            mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
+                    jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
+                    jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
+
+            hitp = _add3(o, _scale3(d, best_t))
+            o = _add3(hitp, _scale3(wi, roffset))
+            d = _where3(alive, wi, d)
+            return (o, d, mask, rad, jnp.where(alive, vone, vzero), state)
+
+        # `interleave` independent samples step through the bounce loop together;
+        # their traversals run MERGED (see nearest_hit_multi). Accumulation order
+        # over samples is unchanged (group-major, in-group ascending) → output is
+        # bitwise-invariant in the interleave factor.
+        def group_body(g, acc):
+            r0, g0, b0, sg = acc
+            paths = tuple(start_path(start_ref[0] + g * interleave + i)
+                          for i in range(interleave))
 
             def bounce_body(_, carry):
-                o, d, mask, rad, active_f, state, segs = carry
-                active = active_f > 0.5
-                segs = segs + active_f
+                paths, sg = carry
+                for p in paths:
+                    sg = sg + p[4]  # entrants this bounce
+                tcs = nearest_hit_multi([(p[0], p[1], p[4]) for p in paths])
+                return tuple(shade_one(p, tc)
+                             for p, tc in zip(paths, tcs)), sg
 
-                best_t, bn, balb, bemi, brough, bmty = nearest_hit(o, d, active_f)
-                hit = best_t < T_MAX
+            paths, sg = jax.lax.fori_loop(0, bounces, bounce_body, (paths, sg))
+            for p in paths:
+                rad = p[3]
+                # max(radiance, 0) — GenerateColors.cl:260
+                r0 = r0 + jnp.maximum(rad[0], 0.0)
+                g0 = g0 + jnp.maximum(rad[1], 0.0)
+                b0 = b0 + jnp.maximum(rad[2], 0.0)
+            return r0, g0, b0, sg
 
-                miss = active & ~hit
-                rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
-                       rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
-                       rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
-                active = active & hit
-
-                rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
-                       rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
-                       rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
-
-                n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
-                wo = _neg3(d)
-
-                state, ud1 = krng.next_float(state)
-                state, ud2 = krng.next_float(state)
-
-                use_y = jnp.abs(n[0]) > 0.001
-                axis = _where3(use_y, (zeros, ones, zeros), (ones, zeros, zeros))
-                tt = _normalize3(_cross3(axis, n))
-                ss = _cross3(n, tt)
-
-                phi = TWO_PI * ud1
-                cphi = jnp.cos(phi)
-                sphi = jnp.sin(phi)
-
-                sin_d = jnp.sqrt(ud2)
-                cos_d = jnp.sqrt(1.0 - ud2)
-                wi_d = _normalize3(_add3(_add3(
-                    _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
-                    _scale3(n, cos_d)))
-                pdf_d = _dot3(wi_d, n) * INV_PI
-                f_d = _scale3(balb, INV_PI)
-
-                r2 = brough * brough
-                cos_h = jnp.sqrt(
-                    (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
-                sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
-                wh = _normalize3(_add3(_add3(
-                    _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
-                    _scale3(n, cos_h)))
-                wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
-                same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
-                denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
-                d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
-                pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
-                fs_scalar = d_ndf / _safe_denom(
-                    4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0
-                f_s = _scale3(balb, fs_scalar)
-                pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
-                f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
-
-                bspec = bmty >= 1.5
-                wi = _where3(bspec, wi_s, wi_d)
-                pdf = jnp.where(bspec, pdf_s, pdf_d)
-                f = _where3(bspec, f_s, f_d)
-
-                alive = active & (pdf > 0.0)
-                safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
-                factor = _dot3(wi, n) / safe_pdf
-                mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
-                        jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
-                        jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
-
-                hitp = _add3(o, _scale3(d, best_t))
-                o = _add3(hitp, _scale3(wi, roffset))
-                d = _where3(alive, wi, d)
-                return o, d, mask, rad, jnp.where(alive, vone, vzero), state, segs
-
-            carry = (o, d, mask, rad, active_f, state, segs)
-            carry = jax.lax.fori_loop(0, bounces, bounce_body, carry)
-            rad, segs = carry[3], carry[6]
-            return (jnp.maximum(rad[0], 0.0), jnp.maximum(rad[1], 0.0),
-                    jnp.maximum(rad[2], 0.0)), segs
-
-        def sample_body(k, acc):
-            r, s = trace_one_sample(start_ref[0] + k)
-            return acc[0] + r[0], acc[1] + r[1], acc[2] + r[2], acc[3] + s
-
-        acc = jax.lax.fori_loop(0, n_samples, sample_body,
+        acc = jax.lax.fori_loop(0, n_samples // interleave, group_body,
                                 (zeros, zeros, zeros, zeros))
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
@@ -313,13 +366,19 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int)
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "max_leaf"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "max_leaf",
+                                              "interleave"))
 def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
-                             start_sample, n_samples: int, max_leaf: int = 8):
-    """SUM of n_samples frames via the BVH megakernel + traced-segment count."""
+                             start_sample, n_samples: int, max_leaf: int = 8,
+                             interleave: int = 0):
+    """SUM of n_samples frames via the BVH megakernel + traced-segment count.
+
+    interleave: samples stepped together with merged traversals (0 = auto);
+    output is bitwise-invariant in it."""
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
-    kernel = _make_kernel(cfg, int(nodes_f.shape[0]), max_leaf, n_samples)
+    kernel = _make_kernel(cfg, int(nodes_f.shape[0]), max_leaf, n_samples,
+                          interleave)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),

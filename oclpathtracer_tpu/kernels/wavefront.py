@@ -58,7 +58,28 @@ from oclpathtracer_tpu.kernels.megakernel import (
 from oclpathtracer_tpu.scene.types import Scene
 
 
-def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
+def resolve_stream_interleave(n_samples: int, bounces: int,
+                              requested: int = 0) -> int:
+    """0 = auto: widest stream count that still wins at this bounce depth.
+
+    Like megakernel.resolve_interleave, k independent per-lane path STREAMS give
+    the VPU k independent instruction chains. Unlike the megakernel's grouped
+    form, streams need not divide n_samples (stream i owns samples ≡ i mod k and
+    simply runs dry early). Measured (v5e, 512² Cornell, 64 spp, full tri
+    unroll), k=1/2/4/8: 4-bounce 628/701/743/796 Mrays/s; 8-bounce -/680/717/727;
+    16-bounce 586/641/640/601 — deep loops carry more live state, so wide
+    interleave starts spilling and k=2 wins past 8 bounces. k>1 changes
+    accumulation order (per-stream partials summed in stream order) so output is
+    allclose-but-not-bitwise vs k=1."""
+    if requested:
+        return requested
+    k = 8 if bounces <= 8 else 2
+    return min(k, max(n_samples, 1))
+
+
+def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
+                 interleave: int = 0):
+    interleave = resolve_stream_interleave(n_samples, cfg.bounces, interleave)
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
     view, hol, upd, angle, eye = _camera_constants(cfg)
@@ -101,8 +122,9 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
                  vzero + eye[2])
             return state, o, d
 
-        # Per-lane state:
-        #   s_idx: which progressive sample this lane is on (0..n_samples)
+        # Per-lane, per-stream state:
+        #   s_idx: which progressive sample this stream is on (stream i owns
+        #          samples ≡ i mod interleave)
         #   b_idx: current bounce within the path
         #   live:  path in flight
         #   rad:   CURRENT path's radiance (flushed to acc with the reference's
@@ -112,37 +134,40 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
             state, o, d = camera_ray(state)
             return state, o, d
 
-        state0, o0, d0 = init_path(izeros)
-
         # live is carried as an f32 0/1 mask (Mosaic: no carried vector<i1>).
-        carry0 = dict(
-            s_idx=izeros, b_idx=izeros,
-            live_f=vone,
-            state=state0, o=o0, d=d0,
-            mask=(ones, ones, ones),
-            rad=(zeros, zeros, zeros),
-            acc=(zeros, zeros, zeros),
-            segs=zeros,
-        )
-        keys = tuple(sorted(carry0.keys()))
+        def init_stream(i):
+            state0, o0, d0 = init_path(izeros + i)
+            return dict(
+                s_idx=izeros + i, b_idx=izeros,
+                live_f=vone if i < n_samples else vzero,
+                state=state0, o=o0, d=d0,
+                mask=(ones, ones, ones),
+                rad=(zeros, zeros, zeros),
+                acc=(zeros, zeros, zeros),
+            )
 
-        def pack(c):
-            return tuple(c[k] for k in keys)
+        keys = tuple(sorted(init_stream(0).keys()))
+
+        def pack(streams, segs):
+            return tuple(tuple(c[k] for k in keys) for c in streams) + (segs,)
 
         def unpack(t):
-            return dict(zip(keys, t))
+            return [dict(zip(keys, s)) for s in t[:-1]], t[-1]
 
         def cond(t):
-            c = unpack(t)
-            return jnp.sum(c["live_f"]) > 0.0
+            streams, _ = unpack(t)
+            total = streams[0]["live_f"]
+            for c in streams[1:]:
+                total = total + c["live_f"]
+            return jnp.sum(total) > 0.0
 
-        def step(t):
-            c = unpack(t)
+        def seg_step(c, segs):
+            """One traced segment for one stream; returns (stream', segs')."""
             o, d, mask, rad = c["o"], c["d"], c["mask"], c["rad"]
             state = c["state"]
             live = c["live_f"] > 0.5
             s_idx, b_idx = c["s_idx"], c["b_idx"]
-            acc, segs = c["acc"], c["segs"]
+            acc = c["acc"]
 
             segs = segs + c["live_f"]
 
@@ -268,7 +293,7 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
                    acc[1] + jnp.where(path_done, jnp.maximum(rad[1], 0.0), 0.0),
                    acc[2] + jnp.where(path_done, jnp.maximum(rad[2], 0.0), 0.0))
 
-            s_next = s_idx + path_done.astype(jnp.int32)
+            s_next = s_idx + interleave * path_done.astype(jnp.int32)
             regen = path_done & (s_next < n_samples)
             live = (live & ~path_done) | regen
             s_idx = s_next
@@ -281,28 +306,49 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int):
             o = _where3(regen, new_o, o)
             d = _where3(regen, new_d, d)
 
+            c = dict(c)
             c.update(s_idx=s_idx, b_idx=b_idx, live_f=jnp.where(live, vone, vzero),
                      state=state, o=o, d=d,
-                     mask=mask, rad=rad, acc=acc, segs=segs)
-            return pack(c)
+                     mask=mask, rad=rad, acc=acc)
+            return c, segs
 
-        out = unpack(jax.lax.while_loop(cond, step, pack(carry0)))
-        acc = out["acc"]
+        def step(t):
+            streams, segs = unpack(t)
+            out = []
+            for c in streams:
+                c, segs = seg_step(c, segs)
+                out.append(c)
+            return pack(out, segs)
+
+        streams0 = [init_stream(i) for i in range(interleave)]
+        streams, segs = unpack(
+            jax.lax.while_loop(cond, step, pack(streams0, zeros)))
+        # Per-stream partials summed in ascending stream order (deterministic;
+        # equals the k=1 order exactly when interleave == 1).
+        acc = streams[0]["acc"]
+        for c in streams[1:]:
+            acc = _add3(acc, c["acc"])
         out_ref[0, 0] = acc[0]
         out_ref[0, 1] = acc[1]
         out_ref[0, 2] = acc[2]
-        seg_ref[0, 0] = out["segs"]
+        seg_ref[0, 0] = segs
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interleave"))
 def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
-                                   start_sample, n_samples: int):
-    """SUM of n_samples frames via path regeneration + traced-segment count."""
+                                   start_sample, n_samples: int,
+                                   interleave: int = 0):
+    """SUM of n_samples frames via path regeneration + traced-segment count.
+
+    interleave: independent per-lane path streams (0 = auto; see
+    resolve_stream_interleave). 1 is bitwise-identical to the megakernel;
+    k>1 reorders the per-lane accumulation (allclose, not bitwise).
+    """
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
-    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples)
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, interleave)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),

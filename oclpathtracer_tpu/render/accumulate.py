@@ -31,6 +31,11 @@ class Accumulator(NamedTuple):
     def add(self, radiance: jnp.ndarray) -> "Accumulator":
         return Accumulator(sum=self.sum + radiance, count=self.count + 1)
 
+    def add_sum(self, radiance_sum: jnp.ndarray, n: int) -> "Accumulator":
+        """Fold in a pre-summed chunk of n samples (the Pallas kernels return
+        per-chunk sums, accumulated on-device)."""
+        return Accumulator(sum=self.sum + radiance_sum, count=self.count + n)
+
     def mean(self) -> jnp.ndarray:
         return self.sum / jnp.maximum(self.count, 1).astype(jnp.float32)
 

@@ -24,6 +24,12 @@ from oclpathtracer_tpu.render import checkpoint as ckpt
 from oclpathtracer_tpu.scene.types import Scene
 
 
+# The linear megakernel keeps the whole (T, 24) triangle table in SMEM, padded to
+# 128 lanes per row (512 B/tri); past this count the auto backend switches to the
+# BVH kernel (whole tables in VMEM, log-ish traversal).
+LINEAR_KERNEL_MAX_TRIS = 1024
+
+
 def make_render_step(cfg: RenderConfig, samples_per_step: int,
                      sample_fn: Optional[Callable] = None):
     """Build a jitted step: (Accumulator, Scene, start_sample, key) → Accumulator.
@@ -46,17 +52,77 @@ def make_render_step(cfg: RenderConfig, samples_per_step: int,
     return step
 
 
+def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
+                            samples_per_step: int, backend: str = "auto"):
+    """Build a jitted step (Accumulator, start_sample) → Accumulator over one of
+    the fused Pallas kernels. backend ∈ {auto, pallas, bvh, wavefront}; auto picks
+    the linear-scan megakernel while the triangle table fits SMEM and the BVH
+    kernel beyond. Kernel sample streams are the reference's RNG keyed by absolute
+    (pixel, sample) — `seed`/`key` have no effect on these backends.
+    """
+    n_tris = int(scene.geometry.p1.shape[0])
+    if backend == "auto":
+        backend = "pallas" if n_tris <= LINEAR_KERNEL_MAX_TRIS else "bvh"
+
+    if backend == "pallas":
+        from oclpathtracer_tpu.kernels.megakernel import (
+            pack_scene, render_samples_pallas_stats)
+
+        table = pack_scene(scene)
+
+        def chunk(start):
+            img, _ = render_samples_pallas_stats(table, cfg, start,
+                                                 samples_per_step)
+            return img
+    elif backend == "wavefront":
+        from oclpathtracer_tpu.kernels.megakernel import pack_scene
+        from oclpathtracer_tpu.kernels.wavefront import (
+            render_samples_wavefront_stats)
+
+        table = pack_scene(scene)
+
+        def chunk(start):
+            img, _ = render_samples_wavefront_stats(table, cfg, start,
+                                                    samples_per_step)
+            return img
+    elif backend == "bvh":
+        from oclpathtracer_tpu.kernels.bvh_megakernel import (
+            pack_bvh_scene, render_samples_bvh_stats)
+
+        table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=32)
+
+        def chunk(start):
+            img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg,
+                                              start, samples_per_step,
+                                              max_leaf=32)
+            return img
+    else:
+        raise ValueError(f"unknown kernel backend {backend!r}")
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def step(acc: Accumulator, start_sample):
+        return acc.add_sum(chunk(start_sample), samples_per_step)
+
+    return step
+
+
 def render_progressive(scene: Scene, cfg: RenderConfig, total_spp: int,
                        seed: Optional[int] = None,
                        samples_per_step: Optional[int] = None,
                        checkpoint_path: Optional[str] = None,
                        checkpoint_every: int = 0,
                        sample_fn: Optional[Callable] = None,
-                       progress: Optional[Callable[[int], None]] = None):
+                       progress: Optional[Callable[[int], None]] = None,
+                       backend: str = "jnp"):
     """Render `total_spp` samples progressively; returns the linear mean image (N, 3).
 
     Resumes from `checkpoint_path` if it exists (SURVEY.md §5.4: the accumulator +
     sample counter IS the checkpoint — tiny, exact restart at any sample).
+
+    backend: "jnp" (default; the lax.scan megakernel in integrators/path.py, uses
+    `seed`) or a fused Pallas kernel — "auto"/"pallas"/"bvh"/"wavefront" (see
+    make_kernel_render_step; reference RNG streams, `seed` ignored). sample_fn
+    forces the jnp path.
     """
     spb = samples_per_step or max(cfg.samples_per_batch, 1)
     key = rng.make_key(cfg.seed if seed is None else seed)
@@ -67,11 +133,18 @@ def render_progressive(scene: Scene, cfg: RenderConfig, total_spp: int,
         loaded = ckpt.load(checkpoint_path)
         if loaded is not None:
             acc, start = loaded
-    step = make_render_step(cfg, spb, sample_fn)
+    use_kernel = sample_fn is None and backend != "jnp"
+    if use_kernel:
+        step = make_kernel_render_step(scene, cfg, spb, backend)
+    else:
+        step = make_render_step(cfg, spb, sample_fn)
 
     s = start
     while s < total_spp:
-        acc = step(acc, scene, jnp.int32(s), key)
+        if use_kernel:
+            acc = step(acc, jnp.int32(s))
+        else:
+            acc = step(acc, scene, jnp.int32(s), key)
         s += spb
         if checkpoint_path and checkpoint_every and (s % checkpoint_every == 0):
             ckpt.save(checkpoint_path, acc, s)

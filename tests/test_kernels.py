@@ -120,10 +120,24 @@ def test_wavefront_bitwise_matches_megakernel(scene):
     from oclpathtracer_tpu.kernels.megakernel import render_samples_pallas_stats
 
     table = pack_scene(scene)
-    img_w, segs_w = render_samples_wavefront_stats(table, CFG, 0, 3)
+    img_w, segs_w = render_samples_wavefront_stats(table, CFG, 0, 3, interleave=1)
     img_m, segs_m = render_samples_pallas_stats(table, CFG, 0, 3)
     assert float(segs_w) == float(segs_m)
     np.testing.assert_array_equal(np.asarray(img_w), np.asarray(img_m))
+
+
+def test_wavefront_interleaved_streams_match(scene):
+    """k>1 path streams trace the same paths (exact segment count) and only
+    reorder the per-lane accumulation (allclose). n=6 with k=4 exercises
+    unequal stream lengths (streams own samples {0,4},{1,5},{2},{3})."""
+    from oclpathtracer_tpu.kernels.wavefront import render_samples_wavefront_stats
+
+    table = pack_scene(scene)
+    img1, segs1 = render_samples_wavefront_stats(table, CFG, 0, 6, interleave=1)
+    img4, segs4 = render_samples_wavefront_stats(table, CFG, 0, 6, interleave=4)
+    assert float(segs1) == float(segs4)
+    np.testing.assert_allclose(np.asarray(img1), np.asarray(img4),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_wavefront_start_offset(scene):

@@ -110,3 +110,43 @@ def test_png_writes_valid_header(tmp_path):
         data = f.read()
     assert data[:8] == b"\x89PNG\r\n\x1a\n"
     assert b"IHDR" in data and b"IDAT" in data and b"IEND" in data
+
+
+def test_kernel_backend_matches_megakernel_direct(scene):
+    """render_progressive(backend="pallas") ≡ the raw kernel's chunk sums."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        pack_scene, render_samples_pallas_stats)
+
+    img = render_progressive(scene, CFG, total_spp=4, backend="pallas",
+                             samples_per_step=2)
+    table = pack_scene(scene)
+    a, _ = render_samples_pallas_stats(table, CFG, 0, 2)
+    b, _ = render_samples_pallas_stats(table, CFG, 2, 2)
+    np.testing.assert_array_equal(np.asarray(img),
+                                  (np.asarray(a) + np.asarray(b)) / 4.0)
+
+
+def test_kernel_backend_auto_dispatch(scene):
+    """auto picks the linear kernel ≤ LINEAR_KERNEL_MAX_TRIS and BVH above."""
+    from oclpathtracer_tpu.render.driver import LINEAR_KERNEL_MAX_TRIS
+
+    assert int(scene.geometry.p1.shape[0]) <= LINEAR_KERNEL_MAX_TRIS
+    img_auto = render_progressive(scene, CFG, total_spp=2, backend="auto")
+    img_lin = render_progressive(scene, CFG, total_spp=2, backend="pallas")
+    np.testing.assert_array_equal(np.asarray(img_auto), np.asarray(img_lin))
+    # BVH backend renders the same scene to the same converged look (same
+    # streams, different intersection order -> allclose).
+    img_bvh = render_progressive(scene, CFG, total_spp=2, backend="bvh")
+    np.testing.assert_allclose(np.asarray(img_bvh), np.asarray(img_lin),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_kernel_backend_checkpoint_resume(scene, tmp_path):
+    path = str(tmp_path / "kacc.npz")
+    full = render_progressive(scene, CFG, total_spp=4, backend="pallas",
+                              samples_per_step=2)
+    render_progressive(scene, CFG, total_spp=2, backend="pallas",
+                       samples_per_step=2, checkpoint_path=path)
+    resumed = render_progressive(scene, CFG, total_spp=4, backend="pallas",
+                                 samples_per_step=2, checkpoint_path=path)
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
