@@ -83,6 +83,225 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8):
     return table, jnp.asarray(nodes_f), jnp.asarray(nodes_i)
 
 
+def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
+                   max_leaf: int, vzero):
+    """Build the tile-synchronized BVH traversal for a Pallas kernel body.
+
+    table/nodes refs live in VMEM; `vzero` is the kernel's concretely-laid-out
+    (8,128) zero tile. Shared by the BVH megakernel and the sorted-wavefront
+    bounce kernel."""
+    zeros = vzero
+
+    def _nearest_hit_multi(rays):
+        """Tile-synchronized stackless BVH traversal, MERGED across the
+        group's `interleave` streams: one while loop carries one scalar node
+        cursor per stream, so the k independent slab-test/any()-reduce chains
+        overlap instead of serializing (the reduce feeding the next cursor is
+        the latency bottleneck of tile-synchronized traversal).
+
+        rays: list of (o, d, active_f) per stream; active_f is the f32 0/1
+        lane mask (bools must not cross scf boundaries on Mosaic). Returns a
+        list of best-hit tuples."""
+        inv_ds = [tuple(1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20)
+                        for c in d) for (_, d, _) in rays]
+
+        def fresh_tc():
+            return (vzero + T_MAX,                      # best_t
+                    (zeros, zeros, zeros),              # bn
+                    (zeros, zeros, zeros),              # balb
+                    (zeros, zeros, zeros),              # bemi
+                    zeros,                              # brough
+                    zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
+
+        def tri_test(j, tc, o, d, valid=None):
+            best_t, bn, balb, bemi, brough, bmty = tc
+            p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+            e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+            e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+            pvec = _cross3(d, e2)
+            det = _dot3(e1, pvec)
+            front = det >= 1e-8
+            inv_det = 1.0 / jnp.where(front, det, 1.0)
+            tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+            u = _dot3(tvec, pvec) * inv_det
+            qvec = _cross3(tvec, e1)
+            v = _dot3(d, qvec) * inv_det
+            t = _dot3(e2, qvec) * inv_det
+            sel = (front & (u >= 0.0) & (u <= 1.0)
+                   & (v >= 0.0) & (u + v <= 1.0)
+                   & (t > 0.0) & (t < best_t))
+            if valid is not None:
+                sel = sel & valid
+            best_t = jnp.where(sel, t, best_t)
+
+            def bc(c):
+                return vzero + c
+
+            bn = _where3(sel, (bc(table_ref[j, 9]), bc(table_ref[j, 10]),
+                               bc(table_ref[j, 11])), bn)
+            balb = _where3(sel, (bc(table_ref[j, 12]), bc(table_ref[j, 13]),
+                                 bc(table_ref[j, 14])), balb)
+            bemi = _where3(sel, (bc(table_ref[j, 15]), bc(table_ref[j, 16]),
+                                 bc(table_ref[j, 17])), bemi)
+            brough = jnp.where(sel, table_ref[j, 18], brough)
+            bmty = jnp.where(sel, table_ref[j, 19], bmty)
+            return best_t, bn, balb, bemi, brough, bmty
+
+        k_streams = len(rays)
+
+        def cond(c):
+            alive = c[0][0] < n_nodes
+            for i in range(1, k_streams):
+                alive = alive | (c[i][0] < n_nodes)
+            return alive
+
+        def step_stream(node, tc, o, d, inv_d, active_f):
+            """One traversal step for one stream (no-op once node == end)."""
+            done = node >= n_nodes
+            nd = jnp.minimum(node, n_nodes - 1)
+            best_t = tc[0]
+            bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
+                    nodes_f_ref[nd, 2])
+            bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
+                    nodes_f_ref[nd, 5])
+            # Slab test per lane.
+            t1 = tuple((bmin[k] - o[k]) * inv_d[k] for k in range(3))
+            t2 = tuple((bmax[k] - o[k]) * inv_d[k] for k in range(3))
+            t_near = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1[0], t2[0]),
+                            jnp.minimum(t1[1], t2[1])),
+                jnp.minimum(t1[2], t2[2]))
+            t_far = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1[0], t2[0]),
+                            jnp.maximum(t1[1], t2[1])),
+                jnp.maximum(t1[2], t2[2]))
+            box_hit = ((t_far >= jnp.maximum(t_near, 0.0))
+                       & (t_near < best_t) & (active_f > 0.5))
+            any_hit = jnp.any(box_hit) & ~done
+
+            skip = nodes_i_ref[nd, 0]
+            start = nodes_i_ref[nd, 1]
+            count = nodes_i_ref[nd, 2]
+            is_leaf = count > 0
+
+            def do_leaf(tc):
+                # Full leaf_size window, lanes masked by k < count (the table
+                # is padded, see pack_bvh_scene) — straight-line unrolled
+                # vector code instead of a serialized per-triangle lax.cond.
+                def k_body(k, tc2):
+                    return tri_test(start + k, tc2, o, d, valid=k < count)
+
+                return jax.lax.fori_loop(0, max_leaf, k_body, tc,
+                                         unroll=max_leaf)
+
+            tc = jax.lax.cond(any_hit & is_leaf, do_leaf, lambda t_: t_, tc)
+            nxt = jnp.where(any_hit & ~is_leaf, nd + 1, skip)
+            return jnp.where(done, node, nxt), tc
+
+        def body(c):
+            out = []
+            for i in range(k_streams):
+                node, tc = c[i]
+                o, d, active_f = rays[i]
+                out.append(step_stream(node, tc, o, d, inv_ds[i], active_f))
+            return tuple(out)
+
+        init = tuple((jnp.int32(0), fresh_tc()) for _ in range(k_streams))
+        final = jax.lax.while_loop(cond, body, init)
+        return [final[i][1] for i in range(k_streams)]
+
+    return _nearest_hit_multi
+
+
+def make_shader(cfg: RenderConfig, vzero):
+    """Build the post-traversal bounce shader (reference BRDF semantics + quirks,
+    GenerateColors.cl:223-261) over (8,128) tiles. path = (o, d, mask, rad,
+    active_f, state); tc = best-hit tuple from the traversal."""
+    bg = tuple(np.float32(c) for c in cfg.bg_color)
+    eboost = np.float32(cfg.emissive_boost)
+    roffset = np.float32(cfg.ray_offset)
+    zeros = vzero
+    ones = vzero + 1.0
+    vone = ones
+
+    def _shade_one(path, tc):
+        """Post-traversal part of one bounce for one stream."""
+        o, d, mask, rad, active_f, state = path
+        active = active_f > 0.5
+        best_t, bn, balb, bemi, brough, bmty = tc
+        hit = best_t < T_MAX
+
+        miss = active & ~hit
+        rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
+               rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
+               rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
+        active = active & hit
+
+        rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
+               rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
+               rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
+
+        n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
+        wo = _neg3(d)
+
+        state, ud1 = krng.next_float(state)
+        state, ud2 = krng.next_float(state)
+
+        use_y = jnp.abs(n[0]) > 0.001
+        axis = _where3(use_y, (zeros, ones, zeros), (ones, zeros, zeros))
+        tt = _normalize3(_cross3(axis, n))
+        ss = _cross3(n, tt)
+
+        phi = TWO_PI * ud1
+        cphi = jnp.cos(phi)
+        sphi = jnp.sin(phi)
+
+        sin_d = jnp.sqrt(ud2)
+        cos_d = jnp.sqrt(1.0 - ud2)
+        wi_d = _normalize3(_add3(_add3(
+            _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
+            _scale3(n, cos_d)))
+        pdf_d = _dot3(wi_d, n) * INV_PI
+        f_d = _scale3(balb, INV_PI)
+
+        r2 = brough * brough
+        cos_h = jnp.sqrt(
+            (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
+        sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
+        wh = _normalize3(_add3(_add3(
+            _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
+            _scale3(n, cos_h)))
+        wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
+        same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
+        denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
+        d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
+        pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
+        fs_scalar = d_ndf / _safe_denom(
+            4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0
+        f_s = _scale3(balb, fs_scalar)
+        pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
+        f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
+
+        bspec = bmty >= 1.5
+        wi = _where3(bspec, wi_s, wi_d)
+        pdf = jnp.where(bspec, pdf_s, pdf_d)
+        f = _where3(bspec, f_s, f_d)
+
+        alive = active & (pdf > 0.0)
+        safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
+        factor = _dot3(wi, n) / safe_pdf
+        mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
+                jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
+                jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
+
+        hitp = _add3(o, _scale3(d, best_t))
+        o = _add3(hitp, _scale3(wi, roffset))
+        d = _where3(alive, wi, d)
+        return (o, d, mask, rad, jnp.where(alive, vone, vzero), state)
+
+    return _shade_one
+
+
 def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
                  interleave: int = 0):
     # Default 1: unlike the linear megakernel, measured speed here is bound by
@@ -119,123 +338,8 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
         zeros = vzero
         ones = vone
 
-        def nearest_hit_multi(rays):
-            """Tile-synchronized stackless BVH traversal, MERGED across the
-            group's `interleave` streams: one while loop carries one scalar node
-            cursor per stream, so the k independent slab-test/any()-reduce chains
-            overlap instead of serializing (the reduce feeding the next cursor is
-            the latency bottleneck of tile-synchronized traversal).
-
-            rays: list of (o, d, active_f) per stream; active_f is the f32 0/1
-            lane mask (bools must not cross scf boundaries on Mosaic). Returns a
-            list of best-hit tuples."""
-            inv_ds = [tuple(1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20)
-                            for c in d) for (_, d, _) in rays]
-
-            def fresh_tc():
-                return (vzero + T_MAX,                      # best_t
-                        (zeros, zeros, zeros),              # bn
-                        (zeros, zeros, zeros),              # balb
-                        (zeros, zeros, zeros),              # bemi
-                        zeros,                              # brough
-                        zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
-
-            def tri_test(j, tc, o, d, valid=None):
-                best_t, bn, balb, bemi, brough, bmty = tc
-                p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
-                e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
-                e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
-                pvec = _cross3(d, e2)
-                det = _dot3(e1, pvec)
-                front = det >= 1e-8
-                inv_det = 1.0 / jnp.where(front, det, 1.0)
-                tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
-                u = _dot3(tvec, pvec) * inv_det
-                qvec = _cross3(tvec, e1)
-                v = _dot3(d, qvec) * inv_det
-                t = _dot3(e2, qvec) * inv_det
-                sel = (front & (u >= 0.0) & (u <= 1.0)
-                       & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > 0.0) & (t < best_t))
-                if valid is not None:
-                    sel = sel & valid
-                best_t = jnp.where(sel, t, best_t)
-
-                def bc(c):
-                    return vzero + c
-
-                bn = _where3(sel, (bc(table_ref[j, 9]), bc(table_ref[j, 10]),
-                                   bc(table_ref[j, 11])), bn)
-                balb = _where3(sel, (bc(table_ref[j, 12]), bc(table_ref[j, 13]),
-                                     bc(table_ref[j, 14])), balb)
-                bemi = _where3(sel, (bc(table_ref[j, 15]), bc(table_ref[j, 16]),
-                                     bc(table_ref[j, 17])), bemi)
-                brough = jnp.where(sel, table_ref[j, 18], brough)
-                bmty = jnp.where(sel, table_ref[j, 19], bmty)
-                return best_t, bn, balb, bemi, brough, bmty
-
-            k_streams = len(rays)
-
-            def cond(c):
-                alive = c[0][0] < n_nodes
-                for i in range(1, k_streams):
-                    alive = alive | (c[i][0] < n_nodes)
-                return alive
-
-            def step_stream(node, tc, o, d, inv_d, active_f):
-                """One traversal step for one stream (no-op once node == end)."""
-                done = node >= n_nodes
-                nd = jnp.minimum(node, n_nodes - 1)
-                best_t = tc[0]
-                bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
-                        nodes_f_ref[nd, 2])
-                bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
-                        nodes_f_ref[nd, 5])
-                # Slab test per lane.
-                t1 = tuple((bmin[k] - o[k]) * inv_d[k] for k in range(3))
-                t2 = tuple((bmax[k] - o[k]) * inv_d[k] for k in range(3))
-                t_near = jnp.maximum(
-                    jnp.maximum(jnp.minimum(t1[0], t2[0]),
-                                jnp.minimum(t1[1], t2[1])),
-                    jnp.minimum(t1[2], t2[2]))
-                t_far = jnp.minimum(
-                    jnp.minimum(jnp.maximum(t1[0], t2[0]),
-                                jnp.maximum(t1[1], t2[1])),
-                    jnp.maximum(t1[2], t2[2]))
-                box_hit = ((t_far >= jnp.maximum(t_near, 0.0))
-                           & (t_near < best_t) & (active_f > 0.5))
-                any_hit = jnp.any(box_hit) & ~done
-
-                skip = nodes_i_ref[nd, 0]
-                start = nodes_i_ref[nd, 1]
-                count = nodes_i_ref[nd, 2]
-                is_leaf = count > 0
-
-                def do_leaf(tc):
-                    # Full leaf_size window, lanes masked by k < count (the table
-                    # is padded, see pack_bvh_scene) — straight-line unrolled
-                    # vector code instead of a serialized per-triangle lax.cond.
-                    def k_body(k, tc2):
-                        return tri_test(start + k, tc2, o, d, valid=k < count)
-
-                    return jax.lax.fori_loop(0, max_leaf, k_body, tc,
-                                             unroll=max_leaf)
-
-                tc = jax.lax.cond(any_hit & is_leaf, do_leaf, lambda t_: t_, tc)
-                nxt = jnp.where(any_hit & ~is_leaf, nd + 1, skip)
-                return jnp.where(done, node, nxt), tc
-
-            def body(c):
-                out = []
-                for i in range(k_streams):
-                    node, tc = c[i]
-                    o, d, active_f = rays[i]
-                    out.append(step_stream(node, tc, o, d, inv_ds[i], active_f))
-                return tuple(out)
-
-            init = tuple((jnp.int32(0), fresh_tc()) for _ in range(k_streams))
-            final = jax.lax.while_loop(cond, body, init)
-            return [final[i][1] for i in range(k_streams)]
+        nearest_hit_multi = make_traversal(
+            table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero)
 
         def start_path(sample_idx):
             """Seed + camera ray for one progressive frame (path-state tuple)."""
@@ -255,80 +359,7 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
             # active is an f32 0/1 lane mask (no carried vector<i1>)
             return (o, d, (ones, ones, ones), (zeros, zeros, zeros), vone, state)
 
-        def shade_one(path, tc):
-            """Post-traversal part of one bounce for one stream."""
-            o, d, mask, rad, active_f, state = path
-            active = active_f > 0.5
-            best_t, bn, balb, bemi, brough, bmty = tc
-            hit = best_t < T_MAX
-
-            miss = active & ~hit
-            rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
-                   rad[1] + jnp.where(miss, mask[1] * bg[1], 0.0),
-                   rad[2] + jnp.where(miss, mask[2] * bg[2], 0.0))
-            active = active & hit
-
-            rad = (rad[0] + jnp.where(active, mask[0] * bemi[0] * eboost, 0.0),
-                   rad[1] + jnp.where(active, mask[1] * bemi[1] * eboost, 0.0),
-                   rad[2] + jnp.where(active, mask[2] * bemi[2] * eboost, 0.0))
-
-            n = _where3(_dot3(bn, d) < 0.0, bn, _neg3(bn))
-            wo = _neg3(d)
-
-            state, ud1 = krng.next_float(state)
-            state, ud2 = krng.next_float(state)
-
-            use_y = jnp.abs(n[0]) > 0.001
-            axis = _where3(use_y, (zeros, ones, zeros), (ones, zeros, zeros))
-            tt = _normalize3(_cross3(axis, n))
-            ss = _cross3(n, tt)
-
-            phi = TWO_PI * ud1
-            cphi = jnp.cos(phi)
-            sphi = jnp.sin(phi)
-
-            sin_d = jnp.sqrt(ud2)
-            cos_d = jnp.sqrt(1.0 - ud2)
-            wi_d = _normalize3(_add3(_add3(
-                _scale3(ss, cphi * sin_d), _scale3(tt, sphi * sin_d)),
-                _scale3(n, cos_d)))
-            pdf_d = _dot3(wi_d, n) * INV_PI
-            f_d = _scale3(balb, INV_PI)
-
-            r2 = brough * brough
-            cos_h = jnp.sqrt(
-                (1.0 - ud2) / jnp.maximum(ud2 * (r2 - 1.0) + 1.0, 1e-12))
-            sin_h = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_h * cos_h))
-            wh = _normalize3(_add3(_add3(
-                _scale3(ss, cphi * sin_h), _scale3(tt, sphi * sin_h)),
-                _scale3(n, cos_h)))
-            wi_s = _add3(_neg3(wo), _scale3(wh, 2.0 * _dot3(wo, wh)))
-            same_hemi = _dot3(wi_s, n) * _dot3(wo, n) >= 0.0
-            denom_ndf = cos_h * cos_h * (r2 - 1.0) + 1.0
-            d_ndf = r2 * INV_PI / jnp.maximum(denom_ndf * denom_ndf, 1e-12)
-            pdf_s = d_ndf * cos_h / _safe_denom(4.0 * _dot3(wo, wh))
-            fs_scalar = d_ndf / _safe_denom(
-                4.0 * _dot3(wi_s, n) * _dot3(wo, n)) * 2.0
-            f_s = _scale3(balb, fs_scalar)
-            pdf_s = jnp.where(same_hemi, pdf_s, 0.0)
-            f_s = _where3(same_hemi, f_s, (zeros, zeros, zeros))
-
-            bspec = bmty >= 1.5
-            wi = _where3(bspec, wi_s, wi_d)
-            pdf = jnp.where(bspec, pdf_s, pdf_d)
-            f = _where3(bspec, f_s, f_d)
-
-            alive = active & (pdf > 0.0)
-            safe_pdf = jnp.where(pdf > 0.0, pdf, 1.0)
-            factor = _dot3(wi, n) / safe_pdf
-            mask = (jnp.where(alive, mask[0] * f[0] * factor, mask[0]),
-                    jnp.where(alive, mask[1] * f[1] * factor, mask[1]),
-                    jnp.where(alive, mask[2] * f[2] * factor, mask[2]))
-
-            hitp = _add3(o, _scale3(d, best_t))
-            o = _add3(hitp, _scale3(wi, roffset))
-            d = _where3(alive, wi, d)
-            return (o, d, mask, rad, jnp.where(alive, vone, vzero), state)
+        shade_one = make_shader(cfg, vzero)
 
         # `interleave` independent samples step through the bounce loop together;
         # their traversals run MERGED (see nearest_hit_multi). Accumulation order

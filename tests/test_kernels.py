@@ -173,3 +173,37 @@ def test_direct_kernel_matches_ref_twin(scene):
     img_j = sum(np.asarray(render_direct_sample_ref(scene, CFG, i)) for i in range(2))
     np.testing.assert_allclose(img_k, img_j, rtol=1e-4, atol=1e-4)
     assert img_k.mean() > 0.1  # lit
+
+
+# ---------------- sorted-wavefront (HBM ray state) kernel ----------------
+
+def test_sorted_wavefront_matches_bvh_megakernel(scene):
+    """Per-path radiance identical to the fused BVH kernel (same streams, same
+    traversal); per-pixel sums allclose (scatter-add order); exact segment
+    parity. Both sort modes."""
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, render_samples_bvh_stats)
+    from oclpathtracer_tpu.kernels.sorted_wavefront import (
+        render_samples_sorted_stats)
+
+    tb, nf, ni = pack_bvh_scene(scene, leaf_size=8)
+    ref, segs_ref = render_samples_bvh_stats(tb, nf, ni, CFG, 0, 3, max_leaf=8)
+    for sort in (False, True):
+        img, segs = render_samples_sorted_stats(tb, nf, ni, CFG, 0, 3,
+                                                max_leaf=8, sort=sort)
+        assert float(segs) == float(segs_ref)
+        np.testing.assert_allclose(np.asarray(img), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_sorted_wavefront_start_offset(scene):
+    from oclpathtracer_tpu.kernels.bvh_megakernel import pack_bvh_scene
+    from oclpathtracer_tpu.kernels.sorted_wavefront import (
+        render_samples_sorted_stats)
+
+    tb, nf, ni = pack_bvh_scene(scene, leaf_size=8)
+    a, _ = render_samples_sorted_stats(tb, nf, ni, CFG, 0, 2, max_leaf=8)
+    b, _ = render_samples_sorted_stats(tb, nf, ni, CFG, 2, 2, max_leaf=8)
+    ab, _ = render_samples_sorted_stats(tb, nf, ni, CFG, 0, 4, max_leaf=8)
+    np.testing.assert_allclose(np.asarray(a) + np.asarray(b), np.asarray(ab),
+                               rtol=1e-5, atol=1e-5)
