@@ -36,3 +36,25 @@ def enable_compilation_cache(cache_dir: str | None = None) -> str:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     _enabled = True
     return d
+
+
+def log_compiles(enable: bool = True) -> None:
+    """Log every XLA compilation (jit cache miss) — the observability half of the
+    reference's compile bracket (compile start/end logged at
+    AdlKernelUtilsCL.cpp:254-264 via its CompileCallback)."""
+    jax.config.update("jax_log_compiles", enable)
+
+
+def register_compile_listener(callback) -> None:
+    """≡ the reference's pluggable CompileCallback (Adl.h:23-30, fired around
+    clBuildProgram at AdlKernelUtilsCL.cpp:254-264,353-354): `callback(event,
+    seconds)` is invoked when the runtime finishes compiling a program, with the
+    backend compile duration. Registration is process-wide and permanent (JAX
+    exposes no deregistration), matching the reference's static callback slot."""
+    from jax import monitoring
+
+    def _listener(event: str, duration: float, **kw) -> None:
+        if "compile" in event:
+            callback(event, duration)
+
+    monitoring.register_event_duration_secs_listener(_listener)

@@ -84,3 +84,19 @@ def test_stopwatch_and_timed():
     assert sw.elapsed_ms() >= 0
     out, secs = timed(jax.jit(lambda x: x + 1), jnp.zeros((4,)))
     assert secs >= 0 and np.asarray(out).shape == (4,)
+
+
+def test_compile_listener_fires():
+    """register_compile_listener sees a backend compile for a fresh program."""
+    from oclpathtracer_tpu.runtime.cache import register_compile_listener
+
+    events = []
+    register_compile_listener(lambda ev, s: events.append((ev, s)))
+
+    @jax.jit
+    def fresh(x):
+        return x * 3.0 + jnp.sin(x)
+
+    fresh(jnp.arange(7.0)).block_until_ready()
+    assert events, "no compile event observed"
+    assert all(s >= 0.0 for _, s in events)
