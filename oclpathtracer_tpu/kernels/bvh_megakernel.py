@@ -55,13 +55,14 @@ from oclpathtracer_tpu.kernels.megakernel import (
 from oclpathtracer_tpu.scene.types import Scene
 
 
-def pack_bvh_scene(scene: Scene, leaf_size: int = 8):
+def pack_bvh_scene(scene: Scene, leaf_size: int = 8, branching: int = 8):
     """(tri_table (T,24) in BVH leaf order, nodes_f (N,8) f32, nodes_i (N,4) i32).
 
     nodes_f row: [bmin.xyz, bmax.xyz, pad, pad]; nodes_i row: [skip, tri_start,
-    tri_count, pad].
+    tri_count, pad]. branching=8 by default: traversal cost is iteration-bound
+    and a wide tree has ~1.6× fewer union visits per incoherent tile (core/bvh.py).
     """
-    bvh = build_bvh(scene.geometry, leaf_size=leaf_size)
+    bvh = build_bvh(scene.geometry, leaf_size=leaf_size, branching=branching)
     rgeom = reorder_geometry(scene.geometry, bvh)
     rscene = scene._replace(geometry=rgeom)
     table = pack_scene(rscene)

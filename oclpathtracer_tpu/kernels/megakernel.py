@@ -61,12 +61,59 @@ TABLE_COLS = 24
 # kernel anyway.
 TRI_UNROLL_CAP = 128
 
+# Largest table kept in SMEM. A 2-D (T, 24) SMEM ref pads every row to 128
+# lanes (512 B/tri → ~2k tris); flattening to 1-D (T*24,) removes the padding
+# (96 B/tri), so ~8k tris fit in the ~1 MB scalar memory with headroom. Beyond
+# this the table moves to VMEM — correct but latency-bound on scalar element
+# loads (~10× slower scan) — so the driver should prefer the BVH kernel there.
+SMEM_TABLE_MAX_TRIS = 8192
+
 
 def resolve_tri_unroll(n_tris: int, requested: int = 0) -> int:
     """0 = auto: full unroll for small scenes, rolled loop beyond the cap."""
     if requested:
         return requested
     return n_tris if n_tris <= TRI_UNROLL_CAP else 1
+
+
+# Window width of the manually-unrolled scan for big (VMEM-table) scenes. A
+# bare rolled fori_loop is ~500 cycles/triangle on v5e (each iteration's scalar
+# loads serialize behind the loop-carried best-hit state and Mosaic only unrolls
+# fully or not at all); a Python-unrolled inner window restores pipelining.
+PARTIAL_UNROLL = 128
+
+
+def pad_table(table: jnp.ndarray) -> jnp.ndarray:
+    """Pad a pack_scene table with all-zero rows to the scan-window multiple.
+
+    Zero triangles have det == 0 → backface-culled, so pad rows can never win the
+    best-hit scan; segment counts and images are unchanged."""
+    n = table.shape[0]
+    if n <= TRI_UNROLL_CAP:
+        return table
+    pad = (-n) % PARTIAL_UNROLL
+    if pad == 0:
+        return table
+    return jnp.concatenate([table, jnp.zeros((pad, table.shape[1]),
+                                             table.dtype)])
+
+
+def tri_scan(tri_body, init, n_tris: int, tri_unroll: int):
+    """In-order scan of tri_body over [0, n_tris) with the fastest loop shape:
+    full Mosaic unroll for small scenes, manual PARTIAL_UNROLL windows for big
+    ones (n_tris must then be a PARTIAL_UNROLL multiple — see pad_table)."""
+    if n_tris <= TRI_UNROLL_CAP:
+        return jax.lax.fori_loop(0, n_tris, tri_body, init, unroll=tri_unroll)
+    if n_tris % PARTIAL_UNROLL:
+        raise ValueError(f"{n_tris} tris not padded to {PARTIAL_UNROLL}")
+
+    def outer(i, tc):
+        base = i * PARTIAL_UNROLL
+        for u in range(PARTIAL_UNROLL):
+            tc = tri_body(base + u, tc)
+        return tc
+
+    return jax.lax.fori_loop(0, n_tris // PARTIAL_UNROLL, outer, init)
 
 
 def resolve_interleave(n_samples: int, requested: int = 0) -> int:
@@ -161,8 +208,12 @@ def _camera_constants(cfg: RenderConfig):
 
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
-                 tri_unroll: int = 0, interleave: int = 0):
-    """Build the kernel body with all static config baked in."""
+                 tri_unroll: int = 0, interleave: int = 0,
+                 flat_table: bool = True):
+    """Build the kernel body with all static config baked in.
+
+    flat_table: the scene table ref is 1-D (T*24,) in SMEM (fast scalar loads,
+    no row padding); False = 2-D (T, 24) in VMEM for scenes beyond SMEM."""
     tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
     interleave = resolve_interleave(n_samples, interleave)
     W, H = cfg.width, cfg.height
@@ -174,6 +225,13 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     roffset = np.float32(cfg.ray_offset)
 
     def kernel(table_ref, start_ref, base_ref, out_ref, seg_ref):
+        if flat_table:
+            def tl(j, c):
+                return table_ref[j * TABLE_COLS + c]
+        else:
+            def tl(j, c):
+                return table_ref[j, c]
+
         b = pl.program_id(0)
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
@@ -214,59 +272,67 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  vzero + eye[2])
             return (o, d, (ones, ones, ones), (zeros, zeros, zeros), vone, state)
 
-        def bounce_one(path, segs):
-            """One traced segment for one path state; returns (path', segs')."""
+        def scan_multi(rays):
+            """Nearest-hit scan (in-order, strict '<' ≡ reference intersectWorld,
+            GenerateColors.cl:137-154; winning attributes tracked incrementally —
+            no gather), MERGED across the group's streams: each triangle's 20
+            scalar loads happen ONCE and feed every stream's vector tests. For
+            big rolled-scan tables this amortizes the scalar-load latency that
+            otherwise dominates; per-stream results are bitwise-identical to
+            separate scans. rays: [(o, d)] per stream."""
+
+            def fresh():
+                return (vzero + T_MAX,          # best_t
+                        (zeros, zeros, zeros),  # normal
+                        (zeros, zeros, zeros),  # albedo
+                        (zeros, zeros, zeros),  # emissive
+                        zeros,                  # roughness
+                        zeros)  # mtype as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body(j, tcs):
+                p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
+                e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+                e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+                nrm = (tl(j, 9), tl(j, 10), tl(j, 11))
+                alb = (tl(j, 12), tl(j, 13), tl(j, 14))
+                emi = (tl(j, 15), tl(j, 16), tl(j, 17))
+                rough = tl(j, 18)
+                mty = tl(j, 19)
+                out = []
+                for (o, d), tc in zip(rays, tcs):
+                    best_t, bn, balb, bemi, brough, bmty = tc
+                    pvec = _cross3(d, e2)
+                    det = _dot3(e1, pvec)
+                    front = det >= 1e-8  # backface cull (GenerateColors.cl:100)
+                    inv_det = 1.0 / jnp.where(front, det, 1.0)
+                    tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+                    u = _dot3(tvec, pvec) * inv_det
+                    qvec = _cross3(tvec, e1)
+                    v = _dot3(d, qvec) * inv_det
+                    t = _dot3(e2, qvec) * inv_det
+                    sel = (front & (u >= 0.0) & (u <= 1.0)
+                           & (v >= 0.0) & (u + v <= 1.0)
+                           & (t > 0.0) & (t < best_t))
+                    best_t = jnp.where(sel, t, best_t)
+                    bn = _where3(sel, (vzero + nrm[0], vzero + nrm[1],
+                                       vzero + nrm[2]), bn)
+                    balb = _where3(sel, (vzero + alb[0], vzero + alb[1],
+                                         vzero + alb[2]), balb)
+                    bemi = _where3(sel, (vzero + emi[0], vzero + emi[1],
+                                         vzero + emi[2]), bemi)
+                    brough = jnp.where(sel, rough, brough)
+                    bmty = jnp.where(sel, mty, bmty)
+                    out.append((best_t, bn, balb, bemi, brough, bmty))
+                return tuple(out)
+
+            return tri_scan(tri_body, tuple(fresh() for _ in rays),
+                            n_tris, tri_unroll)
+
+        def shade_one(path, tc):
+            """Post-scan part of one bounce for one stream."""
             o, d, mask, rad, active_f, state = path
             active = active_f > 0.5
-            segs = segs + active_f  # entrants this bounce
-
-            # ---- nearest hit: in-order scan, strict '<' ≡ reference
-            # intersectWorld (GenerateColors.cl:137-154), tracking the winning
-            # triangle's attributes incrementally (no gather).
-            best_t = vzero + T_MAX
-            bn = (zeros, zeros, zeros)
-            balb = (zeros, zeros, zeros)
-            bemi = (zeros, zeros, zeros)
-            brough = zeros
-            bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
-
-            def tri_body(j, tc):
-                best_t, bn, balb, bemi, brough, bmty = tc
-                p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
-                e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
-                e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
-
-                pvec = _cross3(d, e2)
-                det = _dot3(e1, pvec)
-                front = det >= 1e-8  # backface cull (GenerateColors.cl:100)
-                inv_det = 1.0 / jnp.where(front, det, 1.0)
-                tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
-                u = _dot3(tvec, pvec) * inv_det
-                qvec = _cross3(tvec, e1)
-                v = _dot3(d, qvec) * inv_det
-                t = _dot3(e2, qvec) * inv_det
-                sel = (front & (u >= 0.0) & (u <= 1.0)
-                       & (v >= 0.0) & (u + v <= 1.0)
-                       & (t > 0.0) & (t < best_t))
-
-                best_t = jnp.where(sel, t, best_t)
-                nrm = (table_ref[j, 9], table_ref[j, 10], table_ref[j, 11])
-                bn = _where3(sel, (vzero + nrm[0], vzero + nrm[1],
-                                   vzero + nrm[2]), bn)
-                alb = (table_ref[j, 12], table_ref[j, 13], table_ref[j, 14])
-                balb = _where3(sel, (vzero + alb[0], vzero + alb[1],
-                                     vzero + alb[2]), balb)
-                emi = (table_ref[j, 15], table_ref[j, 16], table_ref[j, 17])
-                bemi = _where3(sel, (vzero + emi[0], vzero + emi[1],
-                                     vzero + emi[2]), bemi)
-                brough = jnp.where(sel, table_ref[j, 18], brough)
-                bmty = jnp.where(sel, table_ref[j, 19], bmty)
-                return best_t, bn, balb, bemi, brough, bmty
-
-            best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
-                0, n_tris, tri_body,
-                (best_t, bn, balb, bemi, brough, bmty),
-                unroll=tri_unroll)
+            best_t, bn, balb, bemi, brough, bmty = tc
             hit = best_t < T_MAX
 
             # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
@@ -346,25 +412,56 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
             hitp = _add3(o, _scale3(d, best_t))
             o = _add3(hitp, _scale3(wi, roffset))
             d = _where3(alive, wi, d)
-            return (o, d, mask, rad, jnp.where(alive, vone, vzero), state), segs
+            return (o, d, mask, rad, jnp.where(alive, vone, vzero), state)
 
         # `interleave` independent samples step through the bounce loop together
-        # (see resolve_interleave). Accumulation order over samples is unchanged
-        # (group-major, in-group ascending) → bitwise-identical for any k.
+        # (see resolve_interleave) with a MERGED triangle scan. Accumulation
+        # order over samples is unchanged (group-major, in-group ascending) →
+        # bitwise-identical for any k.
         def group_body(g, acc):
             r0, g0, b0, sg = acc
             paths = tuple(start_path(start_ref[0] + g * interleave + i)
                           for i in range(interleave))
 
-            def bounce_body(_, carry):
-                paths, sg = carry
-                outs = []
-                for p in paths:
-                    p, sg = bounce_one(p, sg)
-                    outs.append(p)
-                return tuple(outs), sg
+            if n_tris > TRI_UNROLL_CAP:
+                # Big scenes: while_loop — exit as soon as every lane of every
+                # stream is dead, because each dead-bounce scan wastes a full
+                # O(n_tris) pass (measured +42% on a miss-heavy 5k-tri scene).
+                # Bitwise-identical: skipped iterations contribute nothing.
+                def bounce_cond(carry):
+                    b, paths, sg = carry
+                    alive = paths[0][4]
+                    for p in paths[1:]:
+                        alive = alive + p[4]
+                    return (b < bounces) & (jnp.sum(alive) > 0.0)
 
-            paths, sg = jax.lax.fori_loop(0, bounces, bounce_body, (paths, sg))
+                def bounce_body(carry):
+                    b, paths, sg = carry
+                    for p in paths:
+                        sg = sg + p[4]  # entrants this bounce
+                    tcs = scan_multi([(p[0], p[1]) for p in paths])
+                    return b + 1, tuple(shade_one(p, tc)
+                                        for p, tc in zip(paths, tcs)), sg
+
+                _, paths, sg = jax.lax.while_loop(
+                    bounce_cond, bounce_body, (jnp.int32(0), paths, sg))
+            else:
+                # Small scenes: fixed fori (a dead bounce costs only one cheap
+                # unrolled scan; the while_loop's per-bounce reduce costs ~4% of
+                # the Cornell headline — the wavefront kernel is the occupancy
+                # answer at high bounce caps), and per-stream scans (the fully
+                # unrolled straight-line scans already overlap/CSE in the
+                # scheduler; merging them measured slightly slower here).
+                def bounce_body(_, carry):
+                    paths, sg = carry
+                    for p in paths:
+                        sg = sg + p[4]  # entrants this bounce
+                    tcs = [scan_multi([(p[0], p[1])])[0] for p in paths]
+                    return tuple(shade_one(p, tc)
+                                 for p, tc in zip(paths, tcs)), sg
+
+                paths, sg = jax.lax.fori_loop(0, bounces, bounce_body,
+                                              (paths, sg))
             for p in paths:
                 rad = p[3]
                 # max(radiance, 0) — GenerateColors.cl:260
@@ -406,12 +503,22 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     """
     n_pix = n_rays if n_rays is not None else cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
-    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll)
+    table = pad_table(table)
+    # The scene table lives in SMEM while it fits, FLATTENED to 1-D so rows
+    # aren't lane-padded (96 B/tri instead of 512 → ~8k tris); bigger scenes
+    # spill the 2-D table to VMEM (correct but ~10× slower scalar loads — the
+    # driver prefers the BVH kernel there, see docs/PERFORMANCE.md).
+    flat = int(table.shape[0]) <= SMEM_TABLE_MAX_TRIS
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll,
+                          flat_table=flat)
+    if flat:
+        table = table.reshape(-1)
+    table_space = pltpu.SMEM if flat else pltpu.VMEM
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=table_space),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
