@@ -55,17 +55,18 @@ def _cmd_render(args) -> int:
         from oclpathtracer_tpu.kernels.megakernel import render_pallas
 
         img = render_pallas(scene, cfg, args.spp,
-                            samples_per_call=min(args.spp, 64))
+                            samples_per_call=min(args.spp, 64), scan=args.scan)
     elif args.integrator == "wavefront":
         from oclpathtracer_tpu.kernels.wavefront import render_wavefront
 
         img = render_wavefront(scene, cfg, args.spp,
-                               samples_per_call=min(args.spp, 64))
+                               samples_per_call=min(args.spp, 64),
+                               scan=args.scan)
     elif args.integrator == "bvh":
         from oclpathtracer_tpu.kernels.bvh_megakernel import render_bvh
 
         img = render_bvh(scene, cfg, args.spp,
-                         samples_per_call=min(args.spp, 64))
+                         samples_per_call=min(args.spp, 64), scan=args.scan)
     elif args.integrator == "sorted":
         from oclpathtracer_tpu.kernels.sorted_wavefront import render_sorted
 
@@ -153,6 +154,10 @@ def main(argv=None) -> int:
     r.add_argument("--output", "-o", default="render.png")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)
+    r.add_argument("--scan", default="auto", choices=["auto", "parity", "fast"],
+                   help="triangle-scan arithmetic for pallas/wavefront: "
+                        "reference-exact 'parity' or division-free 'fast' "
+                        "(auto = fast when the scene's materials allow)")
     r.add_argument("--reference-quirk", action="store_true",
                    help="reproduce the reference's double-gamma PPM export")
     r.add_argument("--profile", default=None, metavar="DIR",

@@ -50,6 +50,7 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _safe_denom,
     _scale3,
     _where3,
+    decode_fast_tc,
     pack_scene,
 )
 from oclpathtracer_tpu.scene.types import Scene
@@ -85,13 +86,16 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8, branching: int = 8):
 
 
 def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
-                   max_leaf: int, vzero):
+                   max_leaf: int, vzero, scan: str = "parity"):
     """Build the tile-synchronized BVH traversal for a Pallas kernel body.
 
     table/nodes refs live in VMEM; `vzero` is the kernel's concretely-laid-out
     (8,128) zero tile. Shared by the BVH megakernel and the sorted-wavefront
-    bounce kernel."""
+    bounce kernel. scan="fast" uses the division-free leaf test (see
+    kernels/megakernel._make_kernel) and returns the fast 5-channel best-hit
+    tuple — decode with megakernel.decode_fast_tc."""
     zeros = vzero
+    fast = scan == "fast"
 
     def _nearest_hit_multi(rays):
         """Tile-synchronized stackless BVH traversal, MERGED across the
@@ -107,12 +111,48 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                         for c in d) for (_, d, _) in rays]
 
         def fresh_tc():
+            if fast:
+                return (vzero + T_MAX,                  # t numerator
+                        vzero + 1.0,                    # t denominator (> 0)
+                        (zeros, zeros, zeros),          # normal
+                        (zeros, zeros, zeros),          # albedo
+                        zeros)  # rough + 4*mtype + 16*is_emitter code
             return (vzero + T_MAX,                      # best_t
                     (zeros, zeros, zeros),              # bn
                     (zeros, zeros, zeros),              # balb
                     (zeros, zeros, zeros),              # bemi
                     zeros,                              # brough
                     zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
+
+        def tri_test_fast(j, tc, o, d, valid=None):
+            """Division-free leaf test — same form as megakernel.tri_body_fast."""
+            bnum, bden, bn, balb, bcode = tc
+            p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+            e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+            e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+            pvec = _cross3(d, e2)
+            det = _dot3(e1, pvec)
+            tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+            unum = _dot3(tvec, pvec)
+            qvec = _cross3(tvec, e1)
+            vnum = _dot3(d, qvec)
+            tnum = _dot3(e2, qvec)
+            inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                 det - (unum + vnum)) >= 0.0
+            sel = ((det >= 1e-8) & inside & (tnum > 0.0)
+                   & (tnum * bden < bnum * det))
+            if valid is not None:
+                sel = sel & valid
+            bnum = jnp.where(sel, tnum, bnum)
+            bden = jnp.where(sel, det, bden)
+            bn = _where3(sel, (vzero + table_ref[j, 9],
+                               vzero + table_ref[j, 10],
+                               vzero + table_ref[j, 11]), bn)
+            balb = _where3(sel, (vzero + table_ref[j, 12],
+                                 vzero + table_ref[j, 13],
+                                 vzero + table_ref[j, 14]), balb)
+            bcode = jnp.where(sel, table_ref[j, 23], bcode)
+            return bnum, bden, bn, balb, bcode
 
         def tri_test(j, tc, o, d, valid=None):
             best_t, bn, balb, bemi, brough, bmty = tc
@@ -160,7 +200,6 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             """One traversal step for one stream (no-op once node == end)."""
             done = node >= n_nodes
             nd = jnp.minimum(node, n_nodes - 1)
-            best_t = tc[0]
             bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
                     nodes_f_ref[nd, 2])
             bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
@@ -176,8 +215,14 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 jnp.minimum(jnp.maximum(t1[0], t2[0]),
                             jnp.maximum(t1[1], t2[1])),
                 jnp.maximum(t1[2], t2[2]))
+            if fast:
+                # best-t prune without the divide: t = num/den with den > 0,
+                # so t_near < t  ⟺  t_near*den < num.
+                nearer = t_near * tc[1] < tc[0]
+            else:
+                nearer = t_near < tc[0]
             box_hit = ((t_far >= jnp.maximum(t_near, 0.0))
-                       & (t_near < best_t) & (active_f > 0.5))
+                       & nearer & (active_f > 0.5))
             any_hit = jnp.any(box_hit) & ~done
 
             skip = nodes_i_ref[nd, 0]
@@ -189,8 +234,10 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 # Full leaf_size window, lanes masked by k < count (the table
                 # is padded, see pack_bvh_scene) — straight-line unrolled
                 # vector code instead of a serialized per-triangle lax.cond.
+                leaf_test = tri_test_fast if fast else tri_test
+
                 def k_body(k, tc2):
-                    return tri_test(start + k, tc2, o, d, valid=k < count)
+                    return leaf_test(start + k, tc2, o, d, valid=k < count)
 
                 return jax.lax.fori_loop(0, max_leaf, k_body, tc,
                                          unroll=max_leaf)
@@ -304,7 +351,11 @@ def make_shader(cfg: RenderConfig, vzero):
 
 
 def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
-                 interleave: int = 0):
+                 interleave: int = 0, scan: str = "parity",
+                 emi_const: tuple = (0.0, 0.0, 0.0)):
+    if scan not in ("parity", "fast"):
+        raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
+    fast = scan == "fast"
     # Default 1: unlike the linear megakernel, measured speed here is bound by
     # traversal-loop iteration overhead (scalar bookkeeping + scf region
     # boundaries), not VPU dependency chains — merged k-stream traversal was
@@ -340,7 +391,8 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
         ones = vone
 
         nearest_hit_multi = make_traversal(
-            table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero)
+            table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero,
+            scan=scan)
 
         def start_path(sample_idx):
             """Seed + camera ray for one progressive frame (path-state tuple)."""
@@ -376,6 +428,8 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
                 for p in paths:
                     sg = sg + p[4]  # entrants this bounce
                 tcs = nearest_hit_multi([(p[0], p[1], p[4]) for p in paths])
+                if fast:
+                    tcs = [decode_fast_tc(tc, emi_const) for tc in tcs]
                 return tuple(shade_one(p, tc)
                              for p, tc in zip(paths, tcs)), sg
 
@@ -399,18 +453,21 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "max_leaf",
-                                              "interleave"))
+                                              "interleave", "scan",
+                                              "emi_const"))
 def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
                              start_sample, n_samples: int, max_leaf: int = 8,
-                             interleave: int = 0):
+                             interleave: int = 0, scan: str = "parity",
+                             emi_const: tuple = (0.0, 0.0, 0.0)):
     """SUM of n_samples frames via the BVH megakernel + traced-segment count.
 
     interleave: samples stepped together with merged traversals (0 = auto);
-    output is bitwise-invariant in it."""
+    output is bitwise-invariant in it. scan/emi_const: see
+    kernels/megakernel._make_kernel (division-free leaf tests + best-t prune)."""
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     kernel = _make_kernel(cfg, int(nodes_f.shape[0]), max_leaf, n_samples,
-                          interleave)
+                          interleave, scan=scan, emi_const=emi_const)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -440,8 +497,16 @@ def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
 
 
 def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
-               samples_per_call: int = 0, leaf_size: int = 8) -> jnp.ndarray:
+               samples_per_call: int = 0, leaf_size: int = 8,
+               scan: str = "auto") -> jnp.ndarray:
     """Progressive mean image via the BVH megakernel."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        resolve_scan,
+        scene_emissive_const,
+    )
+
+    scan = resolve_scan(scene, scan)
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
     table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=leaf_size)
     chunk = samples_per_call or total_spp
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
@@ -449,7 +514,8 @@ def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
     while s < total_spp:
         n = min(chunk, total_spp - s)
         img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg, s, n,
-                                          max_leaf=leaf_size)
+                                          max_leaf=leaf_size, scan=scan,
+                                          emi_const=emi)
         acc = acc + img
         s += n
     return acc / total_spp

@@ -50,7 +50,9 @@ T_MAX = 1e20
 
 # Scene table layout (T, 24) f32 — columns:
 #  0:3 p1 | 3:6 e1 | 6:9 e2 | 9:12 n=normalize(cross(e2,e1)) | 12:15 albedo
-#  15:18 emissive | 18 roughness | 19 mtype (1.0 diffuse / 2.0 specular) | 20:24 pad
+#  15:18 emissive | 18 roughness | 19 mtype (1.0 diffuse / 2.0 specular) |
+#  20:23 pad | 23 fast-scan fused code = rough + 4*mtype + 16*is_emitter
+#  (0 = "no hit"; requires roughness < 4 — see fast_scan_supported)
 TABLE_COLS = 24
 
 # Fully unrolling the triangle scan lets Mosaic software-pipeline the SMEM scalar
@@ -151,7 +153,60 @@ def pack_scene(scene: Scene) -> jnp.ndarray:
     tbl[:, 15:18] = np.asarray(m.emissive)[mid]
     tbl[:, 18] = np.asarray(m.roughness)[mid]
     tbl[:, 19] = np.asarray(m.mtype)[mid].astype(np.float32)
+    # Fast-scan fused code (see scan="fast" in _make_kernel): rough/mtype/
+    # is-emitter packed into one tracked channel; the shared emitter RGB is
+    # baked into the kernel as a static constant (scene_emissive_const).
+    is_emit = (np.asarray(m.emissive)[mid] != 0.0).any(axis=-1)
+    tbl[:, 23] = tbl[:, 18] + 4.0 * tbl[:, 19] + 16.0 * is_emit
     return jnp.asarray(tbl)
+
+
+def fast_scan_supported(scene: Scene) -> bool:
+    """True if the scene's materials survive the fast scan's fused-code
+    encoding exactly: every emitting material shares ONE emissive RGB (baked
+    into the kernel as a constant — scene_emissive_const), roughness < 4 (so
+    rough + 4*mtype + 16*is_emitter unpacks), and mtype is diffuse/specular.
+    The reference's Cornell materials qualify (one light, emissive (30,30,30),
+    RaytraceTest.cpp:147-153); scenes that don't fall back to the parity scan."""
+    m = scene.materials
+    emi = np.asarray(m.emissive)
+    rough = np.asarray(m.roughness)
+    mty = np.asarray(m.mtype)
+    emitters = emi[(emi != 0.0).any(axis=-1)]
+    return bool(
+        (emitters.shape[0] == 0 or (emitters == emitters[0]).all())
+        and np.all((rough >= 0.0) & (rough < 4.0))
+        and np.all((mty == 1) | (mty == 2)))
+
+
+def scene_emissive_const(scene: Scene) -> tuple[float, float, float]:
+    """The shared emitter RGB the fast scan bakes in (0,0,0 if no emitters)."""
+    emi = np.asarray(scene.materials.emissive)
+    emitters = emi[(emi != 0.0).any(axis=-1)]
+    if emitters.shape[0] == 0:
+        return (0.0, 0.0, 0.0)
+    return tuple(float(c) for c in emitters[0])
+
+
+def decode_fast_tc(tc, emi_const):
+    """Decode the fast scan's tracked channels to the parity best-hit tuple.
+
+    (t_num, t_den, normal, albedo, code) → (best_t, normal, albedo, emissive,
+    rough, mtype). Runs once per bounce — it amortizes the per-triangle divide
+    and attribute selects the fast scan removed. No-hit lanes decode to
+    best_t == T_MAX exactly (t_num init T_MAX / t_den init 1), so the standard
+    `best_t < T_MAX` hit test is unchanged."""
+    bnum, bden, bn, balb, bcode = tc
+    best_t = bnum / bden            # the one divide
+    emit = bcode >= 15.5
+    code2 = bcode - jnp.where(emit, 16.0, 0.0)
+    bspec = code2 >= 7.5
+    brough = jnp.maximum(code2 - jnp.where(bspec, 8.0, 4.0), 0.0)
+    bmty = jnp.where(bspec, 2.0, 1.0)
+    emit_f = jnp.where(emit, 1.0, 0.0)
+    bemi = (emit_f * emi_const[0], emit_f * emi_const[1],
+            emit_f * emi_const[2])
+    return best_t, bn, balb, bemi, brough, bmty
 
 
 # ---- component-wise 3-vector helpers over (8, 128) tiles ----------------------
@@ -209,11 +264,28 @@ def _camera_constants(cfg: RenderConfig):
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  tri_unroll: int = 0, interleave: int = 0,
-                 flat_table: bool = True):
+                 flat_table: bool = True, scan: str = "parity",
+                 emi_const: tuple = (0.0, 0.0, 0.0)):
     """Build the kernel body with all static config baked in.
 
     flat_table: the scene table ref is 1-D (T*24,) in SMEM (fast scalar loads,
-    no row padding); False = 2-D (T, 24) in VMEM for scenes beyond SMEM."""
+    no row padding); False = 2-D (T, 24) in VMEM for scenes beyond SMEM.
+
+    scan: "parity" reproduces the reference's intersectTriangle arithmetic
+    exactly (per-triangle inv_det divide, u/v in [0,1], 12 tracked best-hit
+    channels — bit-comparable with integrators/parity.py). "fast" is the
+    division-free form: candidate t stays a (num, den) fraction compared by
+    cross-multiplication (den > 0 after the backface cull), u/v tests run on
+    the undivided numerators, and the best hit tracks 9 channels
+    (t_num, t_den, normal×3, albedo×3, fused rough/mtype/is-emitter code)
+    instead of 12, decoded once per bounce; the shared emitter RGB arrives as
+    the static `emi_const` (scene_emissive_const). Hit DECISIONS can differ
+    from parity only where the reference's u = unum*(1/det) rounds across a
+    comparison boundary (≤1 ulp — measured 8 of 56M segments on the Cornell
+    workload); images are allclose. Requires fast_scan_supported(scene)."""
+    if scan not in ("parity", "fast"):
+        raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
+    fast = scan == "fast"
     tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
     interleave = resolve_interleave(n_samples, interleave)
     W, H = cfg.width, cfg.height
@@ -282,12 +354,57 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
             separate scans. rays: [(o, d)] per stream."""
 
             def fresh():
+                if fast:
+                    return (vzero + T_MAX,          # t numerator
+                            vone,                   # t denominator (> 0)
+                            (zeros, zeros, zeros),  # normal
+                            (zeros, zeros, zeros),  # albedo
+                            zeros)      # rough + 4*mtype + 16*is_emitter code
                 return (vzero + T_MAX,          # best_t
                         (zeros, zeros, zeros),  # normal
                         (zeros, zeros, zeros),  # albedo
                         (zeros, zeros, zeros),  # emissive
                         zeros,                  # roughness
                         zeros)  # mtype as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body_fast(j, tcs):
+                """Division-free Möller–Trumbore (see _make_kernel docstring).
+
+                Candidate t = t_num/det is never divided: ordering against the
+                best hit uses t_num*best_den < best_num*det (both dens > 0 by
+                the backface cull); u,v tests run as 0 <= u_num, 0 <= v_num,
+                u_num+v_num <= det (u <= 1 is implied by v >= 0 ∧ u+v <= 1 —
+                the reference's separate u > 1 test is redundant)."""
+                p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
+                e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+                e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+                nrm = (tl(j, 9), tl(j, 10), tl(j, 11))
+                alb = (tl(j, 12), tl(j, 13), tl(j, 14))
+                code = tl(j, 23)
+                out = []
+                for (o, d), tc in zip(rays, tcs):
+                    bnum, bden, bn, balb, bcode = tc
+                    pvec = _cross3(d, e2)
+                    det = _dot3(e1, pvec)
+                    tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+                    unum = _dot3(tvec, pvec)
+                    qvec = _cross3(tvec, e1)
+                    vnum = _dot3(d, qvec)
+                    tnum = _dot3(e2, qvec)
+                    inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                         det - (unum + vnum)) >= 0.0
+                    sel = ((det >= 1e-8)  # backface cull (GenerateColors.cl:100)
+                           & inside & (tnum > 0.0)
+                           & (tnum * bden < bnum * det))
+                    bnum = jnp.where(sel, tnum, bnum)
+                    bden = jnp.where(sel, det, bden)
+                    bn = _where3(sel, (vzero + nrm[0], vzero + nrm[1],
+                                       vzero + nrm[2]), bn)
+                    balb = _where3(sel, (vzero + alb[0], vzero + alb[1],
+                                         vzero + alb[2]), balb)
+                    bcode = jnp.where(sel, code, bcode)
+                    out.append((bnum, bden, bn, balb, bcode))
+                return tuple(out)
 
             def tri_body(j, tcs):
                 p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
@@ -325,14 +442,18 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                     out.append((best_t, bn, balb, bemi, brough, bmty))
                 return tuple(out)
 
-            return tri_scan(tri_body, tuple(fresh() for _ in rays),
-                            n_tris, tri_unroll)
+            return tri_scan(tri_body_fast if fast else tri_body,
+                            tuple(fresh() for _ in rays), n_tris, tri_unroll)
 
         def shade_one(path, tc):
             """Post-scan part of one bounce for one stream."""
             o, d, mask, rad, active_f, state = path
             active = active_f > 0.5
-            best_t, bn, balb, bemi, brough, bmty = tc
+            if fast:
+                best_t, bn, balb, bemi, brough, bmty = decode_fast_tc(
+                    tc, emi_const)
+            else:
+                best_t, bn, balb, bemi, brough, bmty = tc
             hit = best_t < T_MAX
 
             # ---- miss: masked bg once, lane dies (GenerateColors.cl:233-237)
@@ -485,11 +606,13 @@ def _interpret() -> bool:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "n_samples", "n_rays", "tri_unroll"))
+                   static_argnames=("cfg", "n_samples", "n_rays", "tri_unroll",
+                                    "scan", "emi_const"))
 def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
                                 start_sample, n_samples: int,
                                 pid_base=0, n_rays: int | None = None,
-                                tri_unroll: int = 0):
+                                tri_unroll: int = 0, scan: str = "parity",
+                                emi_const: tuple = (0.0, 0.0, 0.0)):
     """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
     Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);
@@ -510,7 +633,7 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     # driver prefers the BVH kernel there, see docs/PERFORMANCE.md).
     flat = int(table.shape[0]) <= SMEM_TABLE_MAX_TRIS
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll,
-                          flat_table=flat)
+                          flat_table=flat, scan=scan, emi_const=emi_const)
     if flat:
         table = table.reshape(-1)
     table_space = pltpu.SMEM if flat else pltpu.VMEM
@@ -540,23 +663,38 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     return img[:n_pix], jnp.sum(seg_flat[:n_pix])
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "scan",
+                                              "emi_const"))
 def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
-                          start_sample, n_samples: int) -> jnp.ndarray:
+                          start_sample, n_samples: int, scan: str = "parity",
+                          emi_const: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
     """SUM of `n_samples` progressive 1-spp frames: (n_pixels, 3) f32."""
-    img, _ = render_samples_pallas_stats(table, cfg, start_sample, n_samples)
+    img, _ = render_samples_pallas_stats(table, cfg, start_sample, n_samples,
+                                         scan=scan, emi_const=emi_const)
     return img
 
 
+def resolve_scan(scene: Scene, requested: str = "auto") -> str:
+    """'auto' = the division-free fast scan whenever the scene's materials
+    encode losslessly (fast_scan_supported), else the reference-exact parity
+    scan. Explicit 'parity'/'fast' pass through."""
+    if requested != "auto":
+        return requested
+    return "fast" if fast_scan_supported(scene) else "parity"
+
+
 def render_pallas(scene: Scene, cfg: RenderConfig, total_spp: int,
-                  samples_per_call: int = 0) -> jnp.ndarray:
+                  samples_per_call: int = 0, scan: str = "auto") -> jnp.ndarray:
     """Progressive mean image via the megakernel (host loop over sample chunks)."""
     table = pack_scene(scene)
+    scan = resolve_scan(scene, scan)
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
     chunk = samples_per_call or total_spp
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
     s = 0
     while s < total_spp:
         n = min(chunk, total_spp - s)
-        acc = acc + render_samples_pallas(table, cfg, s, n)
+        acc = acc + render_samples_pallas(table, cfg, s, n, scan=scan,
+                                          emi_const=emi)
         s += n
     return acc / total_spp

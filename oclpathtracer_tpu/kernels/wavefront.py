@@ -52,6 +52,7 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _safe_denom,
     _scale3,
     _where3,
+    decode_fast_tc,
     pack_scene,
     resolve_tri_unroll,
 )
@@ -78,7 +79,11 @@ def resolve_stream_interleave(n_samples: int, bounces: int,
 
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
-                 interleave: int = 0):
+                 interleave: int = 0, scan: str = "parity",
+                 emi_const: tuple = (0.0, 0.0, 0.0)):
+    if scan not in ("parity", "fast"):
+        raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
+    fast = scan == "fast"
     interleave = resolve_stream_interleave(n_samples, cfg.bounces, interleave)
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
@@ -172,12 +177,35 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
             segs = segs + c["live_f"]
 
             # ---- one traced segment (identical math to megakernel bounce) ----
-            best_t = vzero + T_MAX
-            bn = (zeros, zeros, zeros)
-            balb = (zeros, zeros, zeros)
-            bemi = (zeros, zeros, zeros)
-            brough = zeros
-            bmty = zeros  # material type carried as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body_fast(j, tc):
+                """Division-free scan — same form as megakernel.tri_body_fast
+                (see kernels/megakernel._make_kernel docstring)."""
+                bnum, bden, bn, balb, bcode = tc
+                p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+                e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+                e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+                pvec = _cross3(d, e2)
+                det = _dot3(e1, pvec)
+                tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+                unum = _dot3(tvec, pvec)
+                qvec = _cross3(tvec, e1)
+                vnum = _dot3(d, qvec)
+                tnum = _dot3(e2, qvec)
+                inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                     det - (unum + vnum)) >= 0.0
+                sel = ((det >= 1e-8) & inside & (tnum > 0.0)
+                       & (tnum * bden < bnum * det))
+                bnum = jnp.where(sel, tnum, bnum)
+                bden = jnp.where(sel, det, bden)
+                bn = _where3(sel, (vzero + table_ref[j, 9],
+                                   vzero + table_ref[j, 10],
+                                   vzero + table_ref[j, 11]), bn)
+                balb = _where3(sel, (vzero + table_ref[j, 12],
+                                     vzero + table_ref[j, 13],
+                                     vzero + table_ref[j, 14]), balb)
+                bcode = jnp.where(sel, table_ref[j, 23], bcode)
+                return bnum, bden, bn, balb, bcode
 
             def tri_body(j, tc):
                 best_t, bn, balb, bemi, brough, bmty = tc
@@ -211,10 +239,23 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                 bmty = jnp.where(sel, table_ref[j, 19], bmty)
                 return best_t, bn, balb, bemi, brough, bmty
 
-            best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
-                0, n_tris, tri_body, (best_t, bn, balb, bemi, brough, bmty),
-                unroll=resolve_tri_unroll(n_tris))
-            hit = best_t < T_MAX
+            if fast:
+                init_tc = (vzero + T_MAX, vone, (zeros, zeros, zeros),
+                           (zeros, zeros, zeros), zeros)
+                ftc = jax.lax.fori_loop(
+                    0, n_tris, tri_body_fast, init_tc,
+                    unroll=resolve_tri_unroll(n_tris))
+                best_t, bn, balb, bemi, brough, bmty = decode_fast_tc(
+                    ftc, emi_const)
+                hit = best_t < T_MAX
+            else:
+                init_tc = (vzero + T_MAX, (zeros, zeros, zeros),
+                           (zeros, zeros, zeros), (zeros, zeros, zeros),
+                           zeros, zeros)
+                best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
+                    0, n_tris, tri_body, init_tc,
+                    unroll=resolve_tri_unroll(n_tris))
+                hit = best_t < T_MAX
 
             miss = live & ~hit
             rad = (rad[0] + jnp.where(miss, mask[0] * bg[0], 0.0),
@@ -336,19 +377,23 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interleave"))
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interleave",
+                                              "scan", "emi_const"))
 def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
                                    start_sample, n_samples: int,
-                                   interleave: int = 0):
+                                   interleave: int = 0, scan: str = "parity",
+                                   emi_const: tuple = (0.0, 0.0, 0.0)):
     """SUM of n_samples frames via path regeneration + traced-segment count.
 
     interleave: independent per-lane path streams (0 = auto; see
     resolve_stream_interleave). 1 is bitwise-identical to the megakernel;
     k>1 reorders the per-lane accumulation (allclose, not bitwise).
+    scan: "parity" | "fast" — see kernels/megakernel._make_kernel.
     """
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
-    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, interleave)
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, interleave,
+                          scan=scan, emi_const=emi_const)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -374,15 +419,23 @@ def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
 
 
 def render_wavefront(scene: Scene, cfg: RenderConfig, total_spp: int,
-                     samples_per_call: int = 0) -> jnp.ndarray:
+                     samples_per_call: int = 0,
+                     scan: str = "auto") -> jnp.ndarray:
     """Progressive mean image via the path-regeneration kernel."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        resolve_scan,
+        scene_emissive_const,
+    )
     table = pack_scene(scene)
+    scan = resolve_scan(scene, scan)
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
     chunk = samples_per_call or total_spp
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
     s = 0
     while s < total_spp:
         n = min(chunk, total_spp - s)
-        img, _ = render_samples_wavefront_stats(table, cfg, s, n)
+        img, _ = render_samples_wavefront_stats(table, cfg, s, n, scan=scan,
+                                                emi_const=emi)
         acc = acc + img
         s += n
     return acc / total_spp

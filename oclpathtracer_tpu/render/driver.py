@@ -53,16 +53,27 @@ def make_render_step(cfg: RenderConfig, samples_per_step: int,
 
 
 def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
-                            samples_per_step: int, backend: str = "auto"):
+                            samples_per_step: int, backend: str = "auto",
+                            scan: str = "auto"):
     """Build a jitted step (Accumulator, start_sample) → Accumulator over one of
     the fused Pallas kernels. backend ∈ {auto, pallas, bvh, wavefront}; auto picks
     the linear-scan megakernel while the triangle table fits SMEM and the BVH
-    kernel beyond. Kernel sample streams are the reference's RNG keyed by absolute
+    kernel beyond. scan ∈ {auto, parity, fast}: auto uses the division-free fast
+    scan when the scene's materials encode losslessly (megakernel.resolve_scan),
+    the reference-exact parity scan otherwise.
+    Kernel sample streams are the reference's RNG keyed by absolute
     (pixel, sample) — `seed`/`key` have no effect on these backends.
     """
+    from oclpathtracer_tpu.kernels.megakernel import (
+        resolve_scan,
+        scene_emissive_const,
+    )
+
     n_tris = int(scene.geometry.p1.shape[0])
     if backend == "auto":
         backend = "pallas" if n_tris <= LINEAR_KERNEL_MAX_TRIS else "bvh"
+    scan = resolve_scan(scene, scan)
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
 
     if backend == "pallas":
         from oclpathtracer_tpu.kernels.megakernel import (
@@ -72,7 +83,8 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
 
         def chunk(start):
             img, _ = render_samples_pallas_stats(table, cfg, start,
-                                                 samples_per_step)
+                                                 samples_per_step,
+                                                 scan=scan, emi_const=emi)
             return img
     elif backend == "wavefront":
         from oclpathtracer_tpu.kernels.megakernel import pack_scene
@@ -83,7 +95,8 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
 
         def chunk(start):
             img, _ = render_samples_wavefront_stats(table, cfg, start,
-                                                    samples_per_step)
+                                                    samples_per_step,
+                                                    scan=scan, emi_const=emi)
             return img
     elif backend == "bvh":
         from oclpathtracer_tpu.kernels.bvh_megakernel import (
@@ -94,7 +107,8 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
         def chunk(start):
             img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg,
                                               start, samples_per_step,
-                                              max_leaf=32)
+                                              max_leaf=32, scan=scan,
+                                              emi_const=emi)
             return img
     else:
         raise ValueError(f"unknown kernel backend {backend!r}")
@@ -113,7 +127,7 @@ def render_progressive(scene: Scene, cfg: RenderConfig, total_spp: int,
                        checkpoint_every: int = 0,
                        sample_fn: Optional[Callable] = None,
                        progress: Optional[Callable[[int], None]] = None,
-                       backend: str = "jnp"):
+                       backend: str = "jnp", scan: str = "auto"):
     """Render `total_spp` samples progressively; returns the linear mean image (N, 3).
 
     Resumes from `checkpoint_path` if it exists (SURVEY.md §5.4: the accumulator +
@@ -122,7 +136,8 @@ def render_progressive(scene: Scene, cfg: RenderConfig, total_spp: int,
     backend: "jnp" (default; the lax.scan megakernel in integrators/path.py, uses
     `seed`) or a fused Pallas kernel — "auto"/"pallas"/"bvh"/"wavefront" (see
     make_kernel_render_step; reference RNG streams, `seed` ignored). sample_fn
-    forces the jnp path.
+    forces the jnp path. scan: triangle-scan arithmetic for the kernel backends
+    ("auto"/"parity"/"fast" — see make_kernel_render_step).
     """
     spb = samples_per_step or max(cfg.samples_per_batch, 1)
     key = rng.make_key(cfg.seed if seed is None else seed)
@@ -135,7 +150,7 @@ def render_progressive(scene: Scene, cfg: RenderConfig, total_spp: int,
             acc, start = loaded
     use_kernel = sample_fn is None and backend != "jnp"
     if use_kernel:
-        step = make_kernel_render_step(scene, cfg, spb, backend)
+        step = make_kernel_render_step(scene, cfg, spb, backend, scan=scan)
     else:
         step = make_render_step(cfg, spb, sample_fn)
 

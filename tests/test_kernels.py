@@ -73,6 +73,74 @@ def test_non_block_aligned_image(scene):
     np.testing.assert_allclose(img_k, img_j, rtol=1e-4, atol=1e-4)
 
 
+# ---------------- division-free fast scan ----------------
+
+def test_fast_scan_supported_cornell(scene):
+    from oclpathtracer_tpu.kernels.megakernel import (
+        fast_scan_supported, resolve_scan, scene_emissive_const)
+
+    assert fast_scan_supported(scene)
+    assert resolve_scan(scene, "auto") == "fast"
+    assert scene_emissive_const(scene) == (30.0, 30.0, 30.0)
+
+
+def test_fast_scan_unsupported_falls_back():
+    """Two emitters with different emissive RGBs can't share the baked
+    constant -> parity scan."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        fast_scan_supported, resolve_scan)
+    from oclpathtracer_tpu.scene import load_cornell_box
+
+    s = load_cornell_box()
+    emi = np.asarray(s.materials.emissive).copy()
+    emitters = np.argwhere((emi != 0).any(axis=1)).ravel()
+    emi = np.concatenate([emi, [[5.0, 1.0, 1.0]]])  # a second, different light
+    mats = s.materials._replace(
+        emissive=jnp.asarray(emi),
+        albedo=jnp.concatenate([s.materials.albedo,
+                                s.materials.albedo[:1]]),
+        roughness=jnp.concatenate([s.materials.roughness,
+                                   s.materials.roughness[:1]]),
+        mtype=jnp.concatenate([s.materials.mtype, s.materials.mtype[:1]]))
+    s2 = s._replace(materials=mats)
+    assert len(emitters) >= 1
+    assert not fast_scan_supported(s2)
+    assert resolve_scan(s2, "auto") == "parity"
+
+
+def test_fast_scan_matches_parity_megakernel(scene):
+    """The division-free scan must agree with the reference-exact parity scan:
+    same traced segments (ulp-boundary hit flips are possible in principle but
+    do not occur at this resolution/spp) and allclose images."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        render_samples_pallas_stats, scene_emissive_const)
+
+    table = pack_scene(scene)
+    emi = scene_emissive_const(scene)
+    img_p, segs_p = render_samples_pallas_stats(table, CFG, 0, 2, scan="parity")
+    img_f, segs_f = render_samples_pallas_stats(table, CFG, 0, 2, scan="fast",
+                                                emi_const=emi)
+    assert abs(float(segs_p) - float(segs_f)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fast_scan_matches_parity_wavefront(scene):
+    from oclpathtracer_tpu.kernels.megakernel import scene_emissive_const
+    from oclpathtracer_tpu.kernels.wavefront import render_samples_wavefront_stats
+
+    table = pack_scene(scene)
+    emi = scene_emissive_const(scene)
+    img_p, segs_p = render_samples_wavefront_stats(table, CFG, 0, 2,
+                                                   interleave=1, scan="parity")
+    img_f, segs_f = render_samples_wavefront_stats(table, CFG, 0, 2,
+                                                   interleave=1, scan="fast",
+                                                   emi_const=emi)
+    assert abs(float(segs_p) - float(segs_f)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
+
+
 # ---------------- BVH megakernel ----------------
 
 def test_bvh_megakernel_matches_parity(scene):
@@ -97,6 +165,25 @@ def test_bvh_megakernel_segments_match_linear(scene):
     table, nf, ni = pack_bvh_scene(scene, leaf_size=4)
     _, segs_bvh = render_samples_bvh_stats(table, nf, ni, CFG, 0, 2, max_leaf=4)
     assert float(segs_lin) == float(segs_bvh)
+
+
+def test_bvh_fast_scan_matches_parity(scene):
+    """Division-free leaf tests + fraction-form best-t prune must agree with
+    the parity BVH kernel (same traversal decisions, allclose radiance)."""
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, render_samples_bvh_stats)
+    from oclpathtracer_tpu.kernels.megakernel import scene_emissive_const
+
+    table, nf, ni = pack_bvh_scene(scene, leaf_size=4)
+    emi = scene_emissive_const(scene)
+    img_p, segs_p = render_samples_bvh_stats(table, nf, ni, CFG, 0, 2,
+                                             max_leaf=4, scan="parity")
+    img_f, segs_f = render_samples_bvh_stats(table, nf, ni, CFG, 0, 2,
+                                             max_leaf=4, scan="fast",
+                                             emi_const=emi)
+    assert abs(float(segs_p) - float(segs_f)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_bvh_megakernel_large_scene():

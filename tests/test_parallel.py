@@ -69,12 +69,16 @@ def test_sharded_megakernel_bitwise_matches_single(scene, cpu_devices):
     from oclpathtracer_tpu.kernels.megakernel import pack_scene, render_samples_pallas
     from oclpathtracer_tpu.parallel.sharded_pallas import render_pallas_sharded
 
+    from oclpathtracer_tpu.kernels.megakernel import scene_emissive_const
+
     cfg = RenderConfig(width=64, height=32, bounces=4)  # 2048 px / 8 dev = 256
     mesh = default_mesh(cpu_devices)
-    img_sh = render_pallas_sharded(scene, cfg, mesh, total_spp=2)
     table = pack_scene(scene)
-    img_1 = render_samples_pallas(table, cfg, 0, 2) / 2
-    np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
+    emi = scene_emissive_const(scene)
+    for scan, kw in (("parity", {}), ("fast", {"emi_const": emi})):
+        img_sh = render_pallas_sharded(scene, cfg, mesh, total_spp=2, scan=scan)
+        img_1 = render_samples_pallas(table, cfg, 0, 2, scan=scan, **kw) / 2
+        np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
 
 
 def test_multihost_helpers_single_process(cpu_devices):

@@ -113,17 +113,20 @@ def test_png_writes_valid_header(tmp_path):
 
 
 def test_kernel_backend_matches_megakernel_direct(scene):
-    """render_progressive(backend="pallas") ≡ the raw kernel's chunk sums."""
+    """render_progressive(backend="pallas") ≡ the raw kernel's chunk sums,
+    bitwise per scan mode (auto resolves to the fast scan on this scene)."""
     from oclpathtracer_tpu.kernels.megakernel import (
-        pack_scene, render_samples_pallas_stats)
+        pack_scene, render_samples_pallas_stats, scene_emissive_const)
 
-    img = render_progressive(scene, CFG, total_spp=4, backend="pallas",
-                             samples_per_step=2)
     table = pack_scene(scene)
-    a, _ = render_samples_pallas_stats(table, CFG, 0, 2)
-    b, _ = render_samples_pallas_stats(table, CFG, 2, 2)
-    np.testing.assert_array_equal(np.asarray(img),
-                                  (np.asarray(a) + np.asarray(b)) / 4.0)
+    emi = scene_emissive_const(scene)
+    for scan, kw in (("parity", {}), ("fast", {"emi_const": emi})):
+        img = render_progressive(scene, CFG, total_spp=4, backend="pallas",
+                                 samples_per_step=2, scan=scan)
+        a, _ = render_samples_pallas_stats(table, CFG, 0, 2, scan=scan, **kw)
+        b, _ = render_samples_pallas_stats(table, CFG, 2, 2, scan=scan, **kw)
+        np.testing.assert_array_equal(np.asarray(img),
+                                      (np.asarray(a) + np.asarray(b)) / 4.0)
 
 
 def test_kernel_backend_auto_dispatch(scene):
