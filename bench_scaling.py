@@ -34,7 +34,11 @@ def main() -> None:
     args = ap.parse_args()
 
     from oclpathtracer_tpu import RenderConfig
-    from oclpathtracer_tpu.kernels.megakernel import pack_scene
+    from oclpathtracer_tpu.kernels.megakernel import (
+        pack_scene,
+        resolve_scan,
+        scene_emissive_const,
+    )
     from oclpathtracer_tpu.parallel.mesh import default_mesh
     from oclpathtracer_tpu.parallel.sharded_pallas import make_sharded_kernel_step
     from oclpathtracer_tpu.runtime import enable_compilation_cache
@@ -43,7 +47,10 @@ def main() -> None:
     enable_compilation_cache()
     cfg = RenderConfig(width=args.width, height=args.height,
                        bounces=args.bounces)
-    table = pack_scene(load_cornell_box())
+    scene = load_cornell_box()
+    table = pack_scene(scene)
+    scan = resolve_scan(scene, "auto")
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
 
     devs = jax.devices()
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
@@ -52,7 +59,8 @@ def main() -> None:
         mesh = default_mesh(devs, n=n)
         tbl = jax.device_put(table, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
-        step = make_sharded_kernel_step(cfg, mesh, args.spp)
+        step = make_sharded_kernel_step(cfg, mesh, args.spp, scan=scan,
+                                        emi_const=emi)
         img, segs = step(tbl, jnp.int32(0))          # compile + warm
         jax.block_until_ready(img)
         t0 = time.perf_counter()

@@ -86,14 +86,28 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8, branching: int = 8):
 
 
 def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
-                   max_leaf: int, vzero, scan: str = "parity"):
+                   max_leaf: int, vzero, scan: str = "parity",
+                   window: int = 1):
     """Build the tile-synchronized BVH traversal for a Pallas kernel body.
 
     table/nodes refs live in VMEM; `vzero` is the kernel's concretely-laid-out
     (8,128) zero tile. Shared by the BVH megakernel and the sorted-wavefront
     bounce kernel. scan="fast" uses the division-free leaf test (see
     kernels/megakernel._make_kernel) and returns the fast 5-channel best-hit
-    tuple — decode with megakernel.decode_fast_tc."""
+    tuple — decode with megakernel.decode_fast_tc.
+
+    window > 1 = SPECULATIVE WINDOWED traversal: each while iteration slab-
+    tests `window` CONSECUTIVE pre-order nodes (cur..cur+window-1) and resolves
+    the skip-link chain through them in scalar selects. The measured cost of
+    the tile-synchronized walk is per-iteration overhead (scalar bookkeeping,
+    the any()-reduce, scf region boundaries), not vector math — and chains
+    advance through consecutive nodes whenever a node is hit (descend = +1) or
+    a leaf is passed (its skip IS +1), breaking only on internal-node misses,
+    so one iteration typically consumes several nodes. Speculative box tests
+    use the iteration-start best-t (conservative: may visit nodes a fully
+    sequential prune would cull — never skips one). Per-slot any()-reduces are
+    PACKED: two slots share one i32 sum (11-bit fields, lane count 1024 < 2^11).
+    """
     zeros = vzero
     fast = scan == "fast"
 
@@ -246,12 +260,99 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             nxt = jnp.where(any_hit & ~is_leaf, nd + 1, skip)
             return jnp.where(done, node, nxt), tc
 
+        def step_stream_windowed(node, tc, o, d, inv_d, active_f):
+            """One windowed traversal iteration (see make_traversal docstring):
+            speculatively test nodes node..node+window-1, chase the skip-link
+            chain through them, leaf-test every visited hit leaf in order."""
+            done = node >= n_nodes
+            base = jnp.minimum(node, n_nodes - 1)
+
+            box_hits, skips, starts, counts, valids = [], [], [], [], []
+            for w in range(window):
+                nd = jnp.minimum(base + w, n_nodes - 1)
+                valids.append(base + w < n_nodes)
+                bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
+                        nodes_f_ref[nd, 2])
+                bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
+                        nodes_f_ref[nd, 5])
+                t1 = tuple((bmin[k] - o[k]) * inv_d[k] for k in range(3))
+                t2 = tuple((bmax[k] - o[k]) * inv_d[k] for k in range(3))
+                t_near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1[0], t2[0]),
+                                jnp.minimum(t1[1], t2[1])),
+                    jnp.minimum(t1[2], t2[2]))
+                t_far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1[0], t2[0]),
+                                jnp.maximum(t1[1], t2[1])),
+                    jnp.maximum(t1[2], t2[2]))
+                if fast:
+                    nearer = t_near * tc[1] < tc[0]
+                else:
+                    nearer = t_near < tc[0]
+                box_hits.append((t_far >= jnp.maximum(t_near, 0.0))
+                                & nearer & (active_f > 0.5))
+                skips.append(nodes_i_ref[nd, 0])
+                starts.append(nodes_i_ref[nd, 1])
+                counts.append(nodes_i_ref[nd, 2])
+
+            # Packed any()-reduce: two slots per i32 sum (11-bit count fields).
+            anys = []
+            for w0 in range(0, window, 2):
+                acc = box_hits[w0].astype(jnp.int32)
+                if w0 + 1 < window:
+                    acc = acc + box_hits[w0 + 1].astype(jnp.int32) * 2048
+                total = jnp.sum(acc)
+                anys.append((total & 2047) > 0)
+                if w0 + 1 < window:
+                    anys.append((total >> 11) > 0)
+
+            # Scalar chain resolve: visited_w, then the new cursor. Skip links
+            # point forward, so each slot is consumed at most once, in order.
+            cur = node
+            visited = []
+            for w in range(window):
+                at_w = (cur == base + w) & ~done & valids[w]
+                hit_w = anys[w] & at_w
+                is_leaf_w = counts[w] > 0
+                nxt_w = jnp.where(hit_w & ~is_leaf_w, base + w + 1, skips[w])
+                visited.append(hit_w & is_leaf_w)  # needs a leaf test
+                cur = jnp.where(at_w, nxt_w, cur)
+
+            # One shared leaf-test body, driven over the visited hit leaves.
+            leaf_test = tri_test_fast if fast else tri_test
+
+            def leaf_w(w, tc):
+                def sel_scalar(vals):
+                    r = vals[0]
+                    for i in range(1, window):
+                        r = jnp.where(w == i, vals[i], r)
+                    return r
+
+                start = sel_scalar(starts)
+                count = sel_scalar(counts)
+                run = sel_scalar(visited)
+
+                def do_leaf(tc2):
+                    def k_body(k, tc3):
+                        return leaf_test(start + k, tc3, o, d,
+                                         valid=k < count)
+
+                    return jax.lax.fori_loop(0, max_leaf, k_body, tc2,
+                                             unroll=max_leaf)
+
+                return jax.lax.cond(run, do_leaf, lambda t_: t_, tc)
+
+            tc = jax.lax.fori_loop(0, window, leaf_w, tc)
+            return cur, tc
+
+        step = step_stream if window == 1 else step_stream_windowed
+
         def body(c):
             out = []
             for i in range(k_streams):
                 node, tc = c[i]
                 o, d, active_f = rays[i]
-                out.append(step_stream(node, tc, o, d, inv_ds[i], active_f))
+                out.append(step(node, tc, o, d, inv_ds[i], active_f))
             return tuple(out)
 
         init = tuple((jnp.int32(0), fresh_tc()) for _ in range(k_streams))
@@ -352,7 +453,7 @@ def make_shader(cfg: RenderConfig, vzero):
 
 def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
                  interleave: int = 0, scan: str = "parity",
-                 emi_const: tuple = (0.0, 0.0, 0.0)):
+                 emi_const: tuple = (0.0, 0.0, 0.0), window: int = 1):
     if scan not in ("parity", "fast"):
         raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
     fast = scan == "fast"
@@ -392,7 +493,7 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
 
         nearest_hit_multi = make_traversal(
             table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero,
-            scan=scan)
+            scan=scan, window=window)
 
         def start_path(sample_idx):
             """Seed + camera ray for one progressive frame (path-state tuple)."""
@@ -454,20 +555,24 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "max_leaf",
                                               "interleave", "scan",
-                                              "emi_const"))
+                                              "emi_const", "window"))
 def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
                              start_sample, n_samples: int, max_leaf: int = 8,
                              interleave: int = 0, scan: str = "parity",
-                             emi_const: tuple = (0.0, 0.0, 0.0)):
+                             emi_const: tuple = (0.0, 0.0, 0.0),
+                             window: int = 1):
     """SUM of n_samples frames via the BVH megakernel + traced-segment count.
 
     interleave: samples stepped together with merged traversals (0 = auto);
     output is bitwise-invariant in it. scan/emi_const: see
-    kernels/megakernel._make_kernel (division-free leaf tests + best-t prune)."""
+    kernels/megakernel._make_kernel (division-free leaf tests + best-t prune).
+    window: speculative nodes tested per traversal iteration (make_traversal);
+    radiance/segments are invariant in it (only pruning work changes)."""
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     kernel = _make_kernel(cfg, int(nodes_f.shape[0]), max_leaf, n_samples,
-                          interleave, scan=scan, emi_const=emi_const)
+                          interleave, scan=scan, emi_const=emi_const,
+                          window=window)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -498,8 +603,11 @@ def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
 
 def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
                samples_per_call: int = 0, leaf_size: int = 8,
-               scan: str = "auto") -> jnp.ndarray:
-    """Progressive mean image via the BVH megakernel."""
+               scan: str = "auto", window: int = 4) -> jnp.ndarray:
+    """Progressive mean image via the BVH megakernel.
+
+    window=4 default: +19% on iteration-overhead-bound scenes (small/coherent),
+    neutral on leaf-work-bound ones (large incoherent) — see make_traversal."""
     from oclpathtracer_tpu.kernels.megakernel import (
         resolve_scan,
         scene_emissive_const,
@@ -515,7 +623,7 @@ def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
         n = min(chunk, total_spp - s)
         img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg, s, n,
                                           max_leaf=leaf_size, scan=scan,
-                                          emi_const=emi)
+                                          emi_const=emi, window=window)
         acc = acc + img
         s += n
     return acc / total_spp

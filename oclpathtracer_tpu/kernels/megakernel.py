@@ -607,12 +607,13 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_samples", "n_rays", "tri_unroll",
-                                    "scan", "emi_const"))
+                                    "scan", "emi_const", "interleave"))
 def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
                                 start_sample, n_samples: int,
                                 pid_base=0, n_rays: int | None = None,
                                 tri_unroll: int = 0, scan: str = "parity",
-                                emi_const: tuple = (0.0, 0.0, 0.0)):
+                                emi_const: tuple = (0.0, 0.0, 0.0),
+                                interleave: int = 0):
     """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
     Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);
@@ -633,7 +634,8 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     # driver prefers the BVH kernel there, see docs/PERFORMANCE.md).
     flat = int(table.shape[0]) <= SMEM_TABLE_MAX_TRIS
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll,
-                          flat_table=flat, scan=scan, emi_const=emi_const)
+                          interleave=interleave, flat_table=flat, scan=scan,
+                          emi_const=emi_const)
     if flat:
         table = table.reshape(-1)
     table_space = pltpu.SMEM if flat else pltpu.VMEM

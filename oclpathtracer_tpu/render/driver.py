@@ -108,7 +108,7 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
             img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg,
                                               start, samples_per_step,
                                               max_leaf=32, scan=scan,
-                                              emi_const=emi)
+                                              emi_const=emi, window=4)
             return img
     else:
         raise ValueError(f"unknown kernel backend {backend!r}")

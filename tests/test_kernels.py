@@ -167,6 +167,25 @@ def test_bvh_megakernel_segments_match_linear(scene):
     assert float(segs_lin) == float(segs_bvh)
 
 
+def test_bvh_windowed_traversal_bitwise_invariant(scene):
+    """Speculative windowed traversal only changes which boxes get tested —
+    radiance and segment counts are bitwise-invariant in `window` (odd width
+    exercises the packed any()-reduce tail)."""
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, render_samples_bvh_stats)
+    from oclpathtracer_tpu.kernels.megakernel import scene_emissive_const
+
+    table, nf, ni = pack_bvh_scene(scene, leaf_size=4)
+    emi = scene_emissive_const(scene)
+    r1, s1 = render_samples_bvh_stats(table, nf, ni, CFG, 0, 2, max_leaf=4,
+                                      scan="fast", emi_const=emi, window=1)
+    for w in (3, 4):
+        rw, sw = render_samples_bvh_stats(table, nf, ni, CFG, 0, 2, max_leaf=4,
+                                          scan="fast", emi_const=emi, window=w)
+        assert float(s1) == float(sw)
+        np.testing.assert_array_equal(np.asarray(r1), np.asarray(rw))
+
+
 def test_bvh_fast_scan_matches_parity(scene):
     """Division-free leaf tests + fraction-form best-t prune must agree with
     the parity BVH kernel (same traversal decisions, allclose radiance)."""
