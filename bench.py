@@ -44,10 +44,8 @@ REPEATS = 5
 def main() -> None:
     from oclpathtracer_tpu import RenderConfig
     from oclpathtracer_tpu.kernels.megakernel import (
-        pack_scene,
+        prepare_scan,
         render_samples_pallas_stats,
-        resolve_scan,
-        scene_emissive_const,
     )
     from oclpathtracer_tpu.runtime import enable_compilation_cache
     from oclpathtracer_tpu.scene import load_cornell_box
@@ -55,13 +53,12 @@ def main() -> None:
     enable_compilation_cache()
     scene = load_cornell_box()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, bounces=BOUNCES)
-    table = pack_scene(scene)
-    scan = resolve_scan(scene, "auto")
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+    scan, table, emi, classes = prepare_scan(scene, "auto")
 
     def run():
         out, segs = render_samples_pallas_stats(table, cfg, SPP_WARM, SPP_BENCH,
-                                                scan=scan, emi_const=emi)
+                                                scan=scan, emi_const=emi,
+                                                classes=classes)
         jax.block_until_ready(out)
         return out, int(segs)
 

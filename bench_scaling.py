@@ -34,11 +34,7 @@ def main() -> None:
     args = ap.parse_args()
 
     from oclpathtracer_tpu import RenderConfig
-    from oclpathtracer_tpu.kernels.megakernel import (
-        pack_scene,
-        resolve_scan,
-        scene_emissive_const,
-    )
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
     from oclpathtracer_tpu.parallel.mesh import default_mesh
     from oclpathtracer_tpu.parallel.sharded_pallas import make_sharded_kernel_step
     from oclpathtracer_tpu.runtime import enable_compilation_cache
@@ -48,9 +44,7 @@ def main() -> None:
     cfg = RenderConfig(width=args.width, height=args.height,
                        bounces=args.bounces)
     scene = load_cornell_box()
-    table = pack_scene(scene)
-    scan = resolve_scan(scene, "auto")
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+    scan, table, emi, classes = prepare_scan(scene, "auto")
 
     devs = jax.devices()
     sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= len(devs)]
@@ -60,7 +54,7 @@ def main() -> None:
         tbl = jax.device_put(table, jax.sharding.NamedSharding(
             mesh, jax.sharding.PartitionSpec()))
         step = make_sharded_kernel_step(cfg, mesh, args.spp, scan=scan,
-                                        emi_const=emi)
+                                        emi_const=emi, classes=classes)
         img, segs = step(tbl, jnp.int32(0))          # compile + warm
         jax.block_until_ready(img)
         t0 = time.perf_counter()

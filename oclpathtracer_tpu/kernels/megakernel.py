@@ -188,6 +188,118 @@ def scene_emissive_const(scene: Scene) -> tuple[float, float, float]:
     return tuple(float(c) for c in emitters[0])
 
 
+# ---- triple-product ("tp") scan: precomputed-constant intersection ----------
+#
+# Rewrites Möller–Trumbore's four scan outputs as triple products of HOST-
+# precomputed per-triangle constants (algebra verified against the cross/dot
+# form to 1e-6 over random triangles):
+#   det  = d·N            N  = cross(e2, e1)   (the unnormalized normal —
+#   tnum = k − o·N        k  = p1·N             det's sign test ≡ the parity
+#   unum = e2·m − d·C1    C1 = cross(e2, p1)    scan's backface cull)
+#   vnum = d·C2 − e1·m    C2 = cross(e1, p1)
+# with ONE per-ray-per-bounce helper m = cross(o, d). This drops the two
+# per-triangle cross products (41 → 33 vector ops), and the tracked best-hit
+# state shrinks to 6 channels (t num/den, raw N ×3, material-CLASS code):
+# albedo/emissive/roughness/mtype live in a deduplicated class table baked
+# into the kernel as static constants and decoded once per bounce; the
+# shading normal is normalize(N), also computed once per bounce at decode.
+# Like the fast scan, hit decisions can differ from parity only at ulp
+# comparison boundaries (the four outputs are algebraically equal but round
+# differently); images are allclose. Requires tp_scan_supported(scene).
+
+TP_CLASS_CAP = 16  # decode is an unrolled select chain — keep it short
+
+# tp table layout (T, 24) f32 — columns:
+#  0:3 N | 3:6 e1 | 6:9 e2 | 9:12 C1 | 12:15 C2 | 15 k |
+#  16 code = material class index + 1 (0 = "no hit") | 17:23 pad
+
+
+def material_classes(scene: Scene):
+    """Deduplicate materials into (albedo, emissive, roughness, mtype) classes.
+
+    Returns (classes, per-material class index). The reference's Cornell scene
+    has 18 material records but only 5 distinct classes (white/red/green
+    diffuse, gold specular, light — RaytraceTest.cpp:145-176)."""
+    m = scene.materials
+    alb = np.asarray(m.albedo, np.float32)
+    emi = np.asarray(m.emissive, np.float32)
+    rough = np.asarray(m.roughness, np.float32)
+    mty = np.asarray(m.mtype, np.float32)
+    seen: dict = {}
+    classes = []
+    idx = np.zeros(alb.shape[0], np.int32)
+    for i in range(alb.shape[0]):
+        key = (tuple(alb[i].tolist()), tuple(emi[i].tolist()),
+               float(rough[i]), float(mty[i]))
+        if key not in seen:
+            seen[key] = len(classes)
+            classes.append(key)
+        idx[i] = seen[key]
+    return tuple(classes), idx
+
+
+def tp_scan_supported(scene: Scene) -> bool:
+    """True if the scene's materials dedupe to ≤ TP_CLASS_CAP classes with
+    diffuse/specular mtypes. Unlike fast_scan_supported there is NO shared-
+    emitter or roughness-range restriction — each class carries its own full
+    attribute tuple as baked constants."""
+    classes, _ = material_classes(scene)
+    mty = np.asarray(scene.materials.mtype)
+    return bool(len(classes) <= TP_CLASS_CAP
+                and np.all((mty == 1) | (mty == 2)))
+
+
+def pack_scene_tp(scene: Scene):
+    """Pack the scene for the tp scan: ((T, 24) table, static class tuple)."""
+    g = scene.geometry
+    p1 = np.asarray(g.p1, np.float32)
+    e1 = np.asarray(g.p2, np.float32) - p1
+    e2 = np.asarray(g.p3, np.float32) - p1
+    nrm = np.cross(e2, e1)
+    classes, cls_of_mat = material_classes(scene)
+    mid = np.asarray(g.mat_id)
+    tbl = np.zeros((p1.shape[0], TABLE_COLS), np.float32)
+    tbl[:, 0:3] = nrm
+    tbl[:, 3:6] = e1
+    tbl[:, 6:9] = e2
+    tbl[:, 9:12] = np.cross(e2, p1)
+    tbl[:, 12:15] = np.cross(e1, p1)
+    tbl[:, 15] = np.einsum("ij,ij->i", p1, nrm)
+    tbl[:, 16] = (cls_of_mat[mid] + 1).astype(np.float32)
+    return jnp.asarray(tbl), classes
+
+
+def decode_tp_tc(tc, classes, vzero, vone):
+    """Decode the tp scan's tracked channels to the parity best-hit tuple.
+
+    (t_num, t_den, N×3, class code) → (best_t, normal, albedo, emissive,
+    rough, mtype). Runs once per bounce: one divide, one 1/sqrt normalize of
+    the winner's raw N, and an unrolled select chain over the ≤TP_CLASS_CAP
+    material classes (wheres emitted only for a class's nonzero/non-default
+    fields). No-hit lanes decode to best_t == T_MAX exactly."""
+    bnum, bden, bN, bcode = tc
+    best_t = bnum / bden
+    inv = 1.0 / jnp.sqrt(jnp.maximum(_dot3(bN, bN), 1e-40))
+    bn = _scale3(bN, inv)
+    zeros = vzero
+    balb = (zeros, zeros, zeros)
+    bemi = (zeros, zeros, zeros)
+    brough = zeros
+    bmty = vone  # diffuse default; no-hit lanes are inactive anyway
+    for i, (alb, emi, rough, mty) in enumerate(classes):
+        sel = jnp.abs(bcode - (i + 1.0)) < 0.5
+        balb = _where3(sel, (zeros + alb[0], zeros + alb[1],
+                             zeros + alb[2]), balb)
+        if any(c != 0.0 for c in emi):
+            bemi = _where3(sel, (zeros + emi[0], zeros + emi[1],
+                                 zeros + emi[2]), bemi)
+        if rough != 0.0:
+            brough = jnp.where(sel, rough, brough)
+        if mty != 1.0:
+            bmty = jnp.where(sel, mty, bmty)
+    return best_t, bn, balb, bemi, brough, bmty
+
+
 def decode_fast_tc(tc, emi_const):
     """Decode the fast scan's tracked channels to the parity best-hit tuple.
 
@@ -265,7 +377,7 @@ def _camera_constants(cfg: RenderConfig):
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  tri_unroll: int = 0, interleave: int = 0,
                  flat_table: bool = True, scan: str = "parity",
-                 emi_const: tuple = (0.0, 0.0, 0.0)):
+                 emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = ()):
     """Build the kernel body with all static config baked in.
 
     flat_table: the scene table ref is 1-D (T*24,) in SMEM (fast scalar loads,
@@ -282,10 +394,20 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     the static `emi_const` (scene_emissive_const). Hit DECISIONS can differ
     from parity only where the reference's u = unum*(1/det) rounds across a
     comparison boundary (≤1 ulp — measured 8 of 56M segments on the Cornell
-    workload); images are allclose. Requires fast_scan_supported(scene)."""
-    if scan not in ("parity", "fast"):
-        raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
+    workload); images are allclose. Requires fast_scan_supported(scene).
+
+    "tp" is the triple-product scan (see the block comment above
+    material_classes): precomputed per-triangle constants drop the two in-scan
+    cross products and the tracked state shrinks to 6 channels; material
+    attributes arrive via the static `classes` tuple (pack_scene_tp's second
+    return). The table MUST be pack_scene_tp's. Requires
+    tp_scan_supported(scene); same allclose-to-parity contract as "fast"."""
+    if scan not in ("parity", "fast", "tp"):
+        raise ValueError(f"scan must be 'parity', 'fast' or 'tp', got {scan!r}")
     fast = scan == "fast"
+    tp = scan == "tp"
+    if tp and not classes:
+        raise ValueError("scan='tp' needs the classes tuple from pack_scene_tp")
     tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
     interleave = resolve_interleave(n_samples, interleave)
     W, H = cfg.width, cfg.height
@@ -353,7 +475,16 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
             otherwise dominates; per-stream results are bitwise-identical to
             separate scans. rays: [(o, d)] per stream."""
 
+            # tp scan: one cross(o, d) per stream per bounce feeds every
+            # triangle's unum/vnum triple products.
+            ms = [_cross3(o, d) for (o, d) in rays] if tp else None
+
             def fresh():
+                if tp:
+                    return (vzero + T_MAX,          # t numerator
+                            vone,                   # t denominator (> 0)
+                            (zeros, zeros, zeros),  # raw N (unnormalized)
+                            zeros)                  # class code (0 = no hit)
                 if fast:
                     return (vzero + T_MAX,          # t numerator
                             vone,                   # t denominator (> 0)
@@ -366,6 +497,37 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                         (zeros, zeros, zeros),  # emissive
                         zeros,                  # roughness
                         zeros)  # mtype as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body_tp(j, tcs):
+                """Triple-product scan (see the material_classes block comment;
+                tp table layout). Ordering/validity tests are the fast scan's
+                division-free forms on the tp-computed numerators."""
+                nv = (tl(j, 0), tl(j, 1), tl(j, 2))
+                e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+                e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+                c1 = (tl(j, 9), tl(j, 10), tl(j, 11))
+                c2 = (tl(j, 12), tl(j, 13), tl(j, 14))
+                kk = tl(j, 15)
+                code = tl(j, 16)
+                out = []
+                for (o, d), m, tc in zip(rays, ms, tcs):
+                    bnum, bden, bN, bcode = tc
+                    det = _dot3(d, nv)
+                    tnum = kk - _dot3(o, nv)
+                    unum = _dot3(e2, m) - _dot3(d, c1)
+                    vnum = _dot3(d, c2) - _dot3(e1, m)
+                    inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                         det - (unum + vnum)) >= 0.0
+                    sel = ((det >= 1e-8)  # backface cull (GenerateColors.cl:100)
+                           & inside & (tnum > 0.0)
+                           & (tnum * bden < bnum * det))
+                    bnum = jnp.where(sel, tnum, bnum)
+                    bden = jnp.where(sel, det, bden)
+                    bN = _where3(sel, (vzero + nv[0], vzero + nv[1],
+                                       vzero + nv[2]), bN)
+                    bcode = jnp.where(sel, code, bcode)
+                    out.append((bnum, bden, bN, bcode))
+                return tuple(out)
 
             def tri_body_fast(j, tcs):
                 """Division-free Möller–Trumbore (see _make_kernel docstring).
@@ -442,14 +604,18 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                     out.append((best_t, bn, balb, bemi, brough, bmty))
                 return tuple(out)
 
-            return tri_scan(tri_body_fast if fast else tri_body,
-                            tuple(fresh() for _ in rays), n_tris, tri_unroll)
+            body = tri_body_tp if tp else (tri_body_fast if fast else tri_body)
+            return tri_scan(body, tuple(fresh() for _ in rays), n_tris,
+                            tri_unroll)
 
         def shade_one(path, tc):
             """Post-scan part of one bounce for one stream."""
             o, d, mask, rad, active_f, state = path
             active = active_f > 0.5
-            if fast:
+            if tp:
+                best_t, bn, balb, bemi, brough, bmty = decode_tp_tc(
+                    tc, classes, vzero, vone)
+            elif fast:
                 best_t, bn, balb, bemi, brough, bmty = decode_fast_tc(
                     tc, emi_const)
             else:
@@ -607,13 +773,14 @@ def _interpret() -> bool:
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_samples", "n_rays", "tri_unroll",
-                                    "scan", "emi_const", "interleave"))
+                                    "scan", "emi_const", "interleave",
+                                    "classes"))
 def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
                                 start_sample, n_samples: int,
                                 pid_base=0, n_rays: int | None = None,
                                 tri_unroll: int = 0, scan: str = "parity",
                                 emi_const: tuple = (0.0, 0.0, 0.0),
-                                interleave: int = 0):
+                                interleave: int = 0, classes: tuple = ()):
     """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
     Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);
@@ -635,7 +802,7 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     flat = int(table.shape[0]) <= SMEM_TABLE_MAX_TRIS
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll,
                           interleave=interleave, flat_table=flat, scan=scan,
-                          emi_const=emi_const)
+                          emi_const=emi_const, classes=classes)
     if flat:
         table = table.reshape(-1)
     table_space = pltpu.SMEM if flat else pltpu.VMEM
@@ -666,37 +833,58 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "scan",
-                                              "emi_const"))
+                                              "emi_const", "classes"))
 def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
                           start_sample, n_samples: int, scan: str = "parity",
-                          emi_const: tuple = (0.0, 0.0, 0.0)) -> jnp.ndarray:
+                          emi_const: tuple = (0.0, 0.0, 0.0),
+                          classes: tuple = ()) -> jnp.ndarray:
     """SUM of `n_samples` progressive 1-spp frames: (n_pixels, 3) f32."""
     img, _ = render_samples_pallas_stats(table, cfg, start_sample, n_samples,
-                                         scan=scan, emi_const=emi_const)
+                                         scan=scan, emi_const=emi_const,
+                                         classes=classes)
     return img
 
 
 def resolve_scan(scene: Scene, requested: str = "auto") -> str:
-    """'auto' = the division-free fast scan whenever the scene's materials
-    encode losslessly (fast_scan_supported), else the reference-exact parity
-    scan. Explicit 'parity'/'fast' pass through."""
+    """'auto' = the fastest scan the scene's materials support: the
+    triple-product tp scan (tp_scan_supported — ≤16 material classes), else
+    the division-free fast scan (fast_scan_supported), else the
+    reference-exact parity scan. Explicit 'parity'/'fast'/'tp' pass through."""
     if requested != "auto":
         return requested
-    return "fast" if fast_scan_supported(scene) else "parity"
+    if tp_scan_supported(scene):
+        return "tp"
+    if fast_scan_supported(scene):
+        return "fast"
+    return "parity"
+
+
+def prepare_scan(scene: Scene, requested: str = "auto"):
+    """Resolve the scan mode and build its packed table + static constants.
+
+    Returns (scan, table, emi_const, classes) — exactly the kwargs the kernel
+    entry points take. The table layout depends on the scan (pack_scene_tp for
+    'tp', pack_scene otherwise), so always pack through here when the scan is
+    not fixed ahead of time."""
+    scan = resolve_scan(scene, requested)
+    if scan == "tp":
+        table, classes = pack_scene_tp(scene)
+        return scan, table, (0.0, 0.0, 0.0), classes
+    table = pack_scene(scene)
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+    return scan, table, emi, ()
 
 
 def render_pallas(scene: Scene, cfg: RenderConfig, total_spp: int,
                   samples_per_call: int = 0, scan: str = "auto") -> jnp.ndarray:
     """Progressive mean image via the megakernel (host loop over sample chunks)."""
-    table = pack_scene(scene)
-    scan = resolve_scan(scene, scan)
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+    scan, table, emi, classes = prepare_scan(scene, scan)
     chunk = samples_per_call or total_spp
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
     s = 0
     while s < total_spp:
         n = min(chunk, total_spp - s)
         acc = acc + render_samples_pallas(table, cfg, s, n, scan=scan,
-                                          emi_const=emi)
+                                          emi_const=emi, classes=classes)
         s += n
     return acc / total_spp

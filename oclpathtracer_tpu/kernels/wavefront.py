@@ -53,6 +53,7 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _scale3,
     _where3,
     decode_fast_tc,
+    decode_tp_tc,
     pack_scene,
     resolve_tri_unroll,
 )
@@ -80,10 +81,13 @@ def resolve_stream_interleave(n_samples: int, bounces: int,
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  interleave: int = 0, scan: str = "parity",
-                 emi_const: tuple = (0.0, 0.0, 0.0)):
-    if scan not in ("parity", "fast"):
-        raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
+                 emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = ()):
+    if scan not in ("parity", "fast", "tp"):
+        raise ValueError(f"scan must be 'parity', 'fast' or 'tp', got {scan!r}")
     fast = scan == "fast"
+    tp = scan == "tp"
+    if tp and not classes:
+        raise ValueError("scan='tp' needs the classes tuple from pack_scene_tp")
     interleave = resolve_stream_interleave(n_samples, cfg.bounces, interleave)
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
@@ -178,6 +182,34 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
 
             # ---- one traced segment (identical math to megakernel bounce) ----
 
+            # tp scan: one cross(o, d) per segment feeds every triangle's
+            # unum/vnum triple products (megakernel.material_classes comment).
+            m = _cross3(o, d) if tp else None
+
+            def tri_body_tp(j, tc):
+                """Triple-product scan — same form as megakernel.tri_body_tp
+                (tp table layout from pack_scene_tp)."""
+                bnum, bden, bN, bcode = tc
+                nv = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
+                e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
+                e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+                c1 = (table_ref[j, 9], table_ref[j, 10], table_ref[j, 11])
+                c2 = (table_ref[j, 12], table_ref[j, 13], table_ref[j, 14])
+                det = _dot3(d, nv)
+                tnum = table_ref[j, 15] - _dot3(o, nv)
+                unum = _dot3(e2, m) - _dot3(d, c1)
+                vnum = _dot3(d, c2) - _dot3(e1, m)
+                inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                     det - (unum + vnum)) >= 0.0
+                sel = ((det >= 1e-8) & inside & (tnum > 0.0)
+                       & (tnum * bden < bnum * det))
+                bnum = jnp.where(sel, tnum, bnum)
+                bden = jnp.where(sel, det, bden)
+                bN = _where3(sel, (vzero + nv[0], vzero + nv[1],
+                                   vzero + nv[2]), bN)
+                bcode = jnp.where(sel, table_ref[j, 16], bcode)
+                return bnum, bden, bN, bcode
+
             def tri_body_fast(j, tc):
                 """Division-free scan — same form as megakernel.tri_body_fast
                 (see kernels/megakernel._make_kernel docstring)."""
@@ -239,7 +271,15 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                 bmty = jnp.where(sel, table_ref[j, 19], bmty)
                 return best_t, bn, balb, bemi, brough, bmty
 
-            if fast:
+            if tp:
+                init_tc = (vzero + T_MAX, vone, (zeros, zeros, zeros), zeros)
+                ftc = jax.lax.fori_loop(
+                    0, n_tris, tri_body_tp, init_tc,
+                    unroll=resolve_tri_unroll(n_tris))
+                best_t, bn, balb, bemi, brough, bmty = decode_tp_tc(
+                    ftc, classes, vzero, vone)
+                hit = best_t < T_MAX
+            elif fast:
                 init_tc = (vzero + T_MAX, vone, (zeros, zeros, zeros),
                            (zeros, zeros, zeros), zeros)
                 ftc = jax.lax.fori_loop(
@@ -378,22 +418,23 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interleave",
-                                              "scan", "emi_const"))
+                                              "scan", "emi_const", "classes"))
 def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
                                    start_sample, n_samples: int,
                                    interleave: int = 0, scan: str = "parity",
-                                   emi_const: tuple = (0.0, 0.0, 0.0)):
+                                   emi_const: tuple = (0.0, 0.0, 0.0),
+                                   classes: tuple = ()):
     """SUM of n_samples frames via path regeneration + traced-segment count.
 
     interleave: independent per-lane path streams (0 = auto; see
     resolve_stream_interleave). 1 is bitwise-identical to the megakernel;
     k>1 reorders the per-lane accumulation (allclose, not bitwise).
-    scan: "parity" | "fast" — see kernels/megakernel._make_kernel.
+    scan: "parity" | "fast" | "tp" — see kernels/megakernel._make_kernel.
     """
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, interleave,
-                          scan=scan, emi_const=emi_const)
+                          scan=scan, emi_const=emi_const, classes=classes)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
@@ -422,20 +463,16 @@ def render_wavefront(scene: Scene, cfg: RenderConfig, total_spp: int,
                      samples_per_call: int = 0,
                      scan: str = "auto") -> jnp.ndarray:
     """Progressive mean image via the path-regeneration kernel."""
-    from oclpathtracer_tpu.kernels.megakernel import (
-        resolve_scan,
-        scene_emissive_const,
-    )
-    table = pack_scene(scene)
-    scan = resolve_scan(scene, scan)
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
+
+    scan, table, emi, classes = prepare_scan(scene, scan)
     chunk = samples_per_call or total_spp
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
     s = 0
     while s < total_spp:
         n = min(chunk, total_spp - s)
         img, _ = render_samples_wavefront_stats(table, cfg, s, n, scan=scan,
-                                                emi_const=emi)
+                                                emi_const=emi, classes=classes)
         acc = acc + img
         s += n
     return acc / total_spp

@@ -25,13 +25,14 @@ from oclpathtracer_tpu.scene.types import Scene
 
 def make_sharded_kernel_step(cfg: RenderConfig, mesh: Mesh, n_samples: int,
                              scan: str = "parity",
-                             emi_const: tuple = (0.0, 0.0, 0.0)):
+                             emi_const: tuple = (0.0, 0.0, 0.0),
+                             classes: tuple = ()):
     """Jitted (table, start_sample) → (img (n_pixels,3) sharded, segments ()).
 
     Requires n_pixels divisible by n_devices × BLOCK-alignment per shard (the
-    canonical 512² image divides any power-of-two mesh). scan/emi_const as in
-    megakernel.render_samples_pallas_stats (the scan choice is layout-invariant:
-    RNG keys on absolute pixel ids either way).
+    canonical 512² image divides any power-of-two mesh). scan/emi_const/classes
+    as in megakernel.render_samples_pallas_stats (the scan choice is
+    layout-invariant: RNG keys on absolute pixel ids either way).
     """
     n_dev = mesh.shape[TILE_AXIS]
     n_pix = cfg.n_pixels
@@ -43,7 +44,7 @@ def make_sharded_kernel_step(cfg: RenderConfig, mesh: Mesh, n_samples: int,
         base = jax.lax.axis_index(TILE_AXIS) * local_n
         img, segs = render_samples_pallas_stats(
             table, cfg, start_sample, n_samples, pid_base=base, n_rays=local_n,
-            scan=scan, emi_const=emi_const)
+            scan=scan, emi_const=emi_const, classes=classes)
         return img, jax.lax.psum(segs, TILE_AXIS)
 
     sharded = shard_map(
@@ -59,24 +60,20 @@ def render_pallas_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
                           total_spp: int, samples_per_call: int = 0,
                           scan: str = "auto"):
     """Progressive mean image over the mesh via the megakernel."""
-    from oclpathtracer_tpu.kernels.megakernel import (
-        pack_scene,
-        resolve_scan,
-        scene_emissive_const,
-    )
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
 
-    scan = resolve_scan(scene, scan)
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
-    table = jax.device_put(pack_scene(scene), NamedSharding(mesh, P()))
+    scan, table, emi, classes = prepare_scan(scene, scan)
+    table = jax.device_put(table, NamedSharding(mesh, P()))
     chunk = samples_per_call or total_spp
-    step = make_sharded_kernel_step(cfg, mesh, chunk, scan=scan, emi_const=emi)
+    step = make_sharded_kernel_step(cfg, mesh, chunk, scan=scan, emi_const=emi,
+                                    classes=classes)
     acc = None
     s = 0
     while s < total_spp:
         n = min(chunk, total_spp - s)
         if n != chunk:
             step = make_sharded_kernel_step(cfg, mesh, n, scan=scan,
-                                            emi_const=emi)
+                                            emi_const=emi, classes=classes)
         img, _ = step(table, jnp.int32(s))
         acc = img if acc is None else acc + img
         s += n

@@ -58,50 +58,53 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
     """Build a jitted step (Accumulator, start_sample) → Accumulator over one of
     the fused Pallas kernels. backend ∈ {auto, pallas, bvh, wavefront}; auto picks
     the linear-scan megakernel while the triangle table fits SMEM and the BVH
-    kernel beyond. scan ∈ {auto, parity, fast}: auto uses the division-free fast
-    scan when the scene's materials encode losslessly (megakernel.resolve_scan),
-    the reference-exact parity scan otherwise.
+    kernel beyond. scan ∈ {auto, parity, fast, tp}: auto uses the fastest scan
+    the scene's materials support (megakernel.resolve_scan — tp's class fusion,
+    else the division-free fast scan, else the reference-exact parity scan; the
+    BVH kernel tops out at "fast").
     Kernel sample streams are the reference's RNG keyed by absolute
     (pixel, sample) — `seed`/`key` have no effect on these backends.
     """
-    from oclpathtracer_tpu.kernels.megakernel import (
-        resolve_scan,
-        scene_emissive_const,
-    )
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
 
     n_tris = int(scene.geometry.p1.shape[0])
     if backend == "auto":
         backend = "pallas" if n_tris <= LINEAR_KERNEL_MAX_TRIS else "bvh"
-    scan = resolve_scan(scene, scan)
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
 
     if backend == "pallas":
         from oclpathtracer_tpu.kernels.megakernel import (
-            pack_scene, render_samples_pallas_stats)
+            render_samples_pallas_stats)
 
-        table = pack_scene(scene)
+        scan, table, emi, classes = prepare_scan(scene, scan)
 
         def chunk(start):
             img, _ = render_samples_pallas_stats(table, cfg, start,
-                                                 samples_per_step,
-                                                 scan=scan, emi_const=emi)
+                                                 samples_per_step, scan=scan,
+                                                 emi_const=emi, classes=classes)
             return img
     elif backend == "wavefront":
-        from oclpathtracer_tpu.kernels.megakernel import pack_scene
         from oclpathtracer_tpu.kernels.wavefront import (
             render_samples_wavefront_stats)
 
-        table = pack_scene(scene)
+        scan, table, emi, classes = prepare_scan(scene, scan)
 
         def chunk(start):
             img, _ = render_samples_wavefront_stats(table, cfg, start,
-                                                    samples_per_step,
-                                                    scan=scan, emi_const=emi)
+                                                    samples_per_step, scan=scan,
+                                                    emi_const=emi,
+                                                    classes=classes)
             return img
     elif backend == "bvh":
         from oclpathtracer_tpu.kernels.bvh_megakernel import (
             pack_bvh_scene, render_samples_bvh_stats)
+        from oclpathtracer_tpu.kernels.megakernel import (
+            fast_scan_supported, scene_emissive_const)
 
+        # The BVH kernel's leaf tests support parity/fast only; "auto"/"tp"
+        # degrade to the best it has.
+        if scan in ("auto", "tp"):
+            scan = "fast" if fast_scan_supported(scene) else "parity"
+        emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
         table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=32)
 
         def chunk(start):
