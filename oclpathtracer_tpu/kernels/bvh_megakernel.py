@@ -15,9 +15,11 @@ TPU traversal design (SURVEY.md §7 hard-part 2 — no per-lane pointer chasing)
   * leaf triangle ranges are contiguous (BVH leaf order), tested with the same
     incremental best-hit tracking as the linear kernel.
 
-Scene data lives in VMEM as one (T, 24) f32 table (BVH-reordered) + node tables;
-scalar element reads from VMEM broadcast to the tile. RNG/shading semantics are
-identical to the linear megakernel (reference streams + quirks).
+Scene data (BVH-reordered tri table + node tables) lives in SMEM while it fits
+(flattened 1-D, slimmed to the scan's columns — see make_traversal; ~13.5k tris
+for the fast scan), spilling to 2-D VMEM beyond; scalar element reads broadcast
+to the tile either way. RNG/shading semantics are identical to the linear
+megakernel (reference streams + quirks).
 """
 
 from __future__ import annotations
@@ -85,16 +87,39 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8, branching: int = 8):
     return table, jnp.asarray(nodes_f), jnp.asarray(nodes_i)
 
 
+def scan_columns(scan: str) -> tuple:
+    """Logical pack_scene columns a leaf test reads: the slim flattened-table
+    layout keeps exactly these, in this order. fast: p1/e1/e2/normal/albedo +
+    fused code (16 cols); parity: + emissive/rough/mtype in place of the code
+    (20 cols)."""
+    if scan == "fast":
+        return tuple(range(15)) + (23,)
+    return tuple(range(20))
+
+
 def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                    max_leaf: int, vzero, scan: str = "parity",
-                   window: int = 1):
+                   window: int = 1, flat_table: bool = False,
+                   flat_nodes: bool = False):
     """Build the tile-synchronized BVH traversal for a Pallas kernel body.
 
-    table/nodes refs live in VMEM; `vzero` is the kernel's concretely-laid-out
-    (8,128) zero tile. Shared by the BVH megakernel and the sorted-wavefront
-    bounce kernel. scan="fast" uses the division-free leaf test (see
-    kernels/megakernel._make_kernel) and returns the fast 5-channel best-hit
-    tuple — decode with megakernel.decode_fast_tc.
+    `vzero` is the kernel's concretely-laid-out (8,128) zero tile. Shared by
+    the BVH megakernel and the sorted-wavefront bounce kernel. scan="fast"
+    uses the division-free leaf test (see kernels/megakernel._make_kernel)
+    and returns the fast 5-channel best-hit tuple — decode with
+    megakernel.decode_fast_tc.
+
+    flat_table/flat_nodes: the ref is 1-D and SLIM (scan_columns(scan) only:
+    (T*16,) fast / (T*20,) parity; nodes (N*8,)+(N*4,)) living in SMEM
+    instead of 2-D in VMEM. Traversal and leaf tests are ALL scalar element
+    loads broadcast to the tile, and SMEM scalar loads are ~10× faster than
+    VMEM ones (kernels/megakernel.py SMEM_TABLE_MAX_TRIS comment). Measured
+    on v5e (sphere_field, 256², 4 bounces, fast scan, same session): 12.8k
+    tris 4.2 → 7.0 Mrays/s (+66%: nodes SMEM +13%, slim table fully SMEM
+    +47%); 5.1k tris 13.9 vs 8.3 recorded round 2. Nodes always fit
+    (48 B/node, budget-gated); the slim fast table fits ~13.5k tris in the
+    ~900 KB budget, beyond which it stays in VMEM and leaf-load latency
+    dominates again.
 
     window > 1 = SPECULATIVE WINDOWED traversal: each while iteration slab-
     tests `window` CONSECUTIVE pre-order nodes (cur..cur+window-1) and resolves
@@ -110,6 +135,33 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
     """
     zeros = vzero
     fast = scan == "fast"
+
+    if flat_table:
+        # Flattened tables are SLIMMED to the columns the scan reads
+        # (scan_columns(scan)) — 64 B/tri for fast vs 96 full — so bigger
+        # scenes stay SMEM-resident. tl maps logical (pack_scene) column ->
+        # physical position in the slim layout.
+        cols = scan_columns(scan)
+        phys = {c: i for i, c in enumerate(cols)}
+        ncols = len(cols)
+
+        def tl(j, c):
+            return table_ref[j * ncols + phys[c]]
+    else:
+        def tl(j, c):
+            return table_ref[j, c]
+    if flat_nodes:
+        def nf(n, c):
+            return nodes_f_ref[n * 8 + c]
+
+        def ni(n, c):
+            return nodes_i_ref[n * 4 + c]
+    else:
+        def nf(n, c):
+            return nodes_f_ref[n, c]
+
+        def ni(n, c):
+            return nodes_i_ref[n, c]
 
     def _nearest_hit_multi(rays):
         """Tile-synchronized stackless BVH traversal, MERGED across the
@@ -141,9 +193,9 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
         def tri_test_fast(j, tc, o, d, valid=None):
             """Division-free leaf test — same form as megakernel.tri_body_fast."""
             bnum, bden, bn, balb, bcode = tc
-            p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
-            e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
-            e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+            p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
+            e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+            e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
             pvec = _cross3(d, e2)
             det = _dot3(e1, pvec)
             tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
@@ -159,20 +211,20 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 sel = sel & valid
             bnum = jnp.where(sel, tnum, bnum)
             bden = jnp.where(sel, det, bden)
-            bn = _where3(sel, (vzero + table_ref[j, 9],
-                               vzero + table_ref[j, 10],
-                               vzero + table_ref[j, 11]), bn)
-            balb = _where3(sel, (vzero + table_ref[j, 12],
-                                 vzero + table_ref[j, 13],
-                                 vzero + table_ref[j, 14]), balb)
-            bcode = jnp.where(sel, table_ref[j, 23], bcode)
+            bn = _where3(sel, (vzero + tl(j, 9),
+                               vzero + tl(j, 10),
+                               vzero + tl(j, 11)), bn)
+            balb = _where3(sel, (vzero + tl(j, 12),
+                                 vzero + tl(j, 13),
+                                 vzero + tl(j, 14)), balb)
+            bcode = jnp.where(sel, tl(j, 23), bcode)
             return bnum, bden, bn, balb, bcode
 
         def tri_test(j, tc, o, d, valid=None):
             best_t, bn, balb, bemi, brough, bmty = tc
-            p1 = (table_ref[j, 0], table_ref[j, 1], table_ref[j, 2])
-            e1 = (table_ref[j, 3], table_ref[j, 4], table_ref[j, 5])
-            e2 = (table_ref[j, 6], table_ref[j, 7], table_ref[j, 8])
+            p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
+            e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+            e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
             pvec = _cross3(d, e2)
             det = _dot3(e1, pvec)
             front = det >= 1e-8
@@ -192,14 +244,14 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             def bc(c):
                 return vzero + c
 
-            bn = _where3(sel, (bc(table_ref[j, 9]), bc(table_ref[j, 10]),
-                               bc(table_ref[j, 11])), bn)
-            balb = _where3(sel, (bc(table_ref[j, 12]), bc(table_ref[j, 13]),
-                                 bc(table_ref[j, 14])), balb)
-            bemi = _where3(sel, (bc(table_ref[j, 15]), bc(table_ref[j, 16]),
-                                 bc(table_ref[j, 17])), bemi)
-            brough = jnp.where(sel, table_ref[j, 18], brough)
-            bmty = jnp.where(sel, table_ref[j, 19], bmty)
+            bn = _where3(sel, (bc(tl(j, 9)), bc(tl(j, 10)),
+                               bc(tl(j, 11))), bn)
+            balb = _where3(sel, (bc(tl(j, 12)), bc(tl(j, 13)),
+                                 bc(tl(j, 14))), balb)
+            bemi = _where3(sel, (bc(tl(j, 15)), bc(tl(j, 16)),
+                                 bc(tl(j, 17))), bemi)
+            brough = jnp.where(sel, tl(j, 18), brough)
+            bmty = jnp.where(sel, tl(j, 19), bmty)
             return best_t, bn, balb, bemi, brough, bmty
 
         k_streams = len(rays)
@@ -214,10 +266,8 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             """One traversal step for one stream (no-op once node == end)."""
             done = node >= n_nodes
             nd = jnp.minimum(node, n_nodes - 1)
-            bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
-                    nodes_f_ref[nd, 2])
-            bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
-                    nodes_f_ref[nd, 5])
+            bmin = (nf(nd, 0), nf(nd, 1), nf(nd, 2))
+            bmax = (nf(nd, 3), nf(nd, 4), nf(nd, 5))
             # Slab test per lane.
             t1 = tuple((bmin[k] - o[k]) * inv_d[k] for k in range(3))
             t2 = tuple((bmax[k] - o[k]) * inv_d[k] for k in range(3))
@@ -239,9 +289,9 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                        & nearer & (active_f > 0.5))
             any_hit = jnp.any(box_hit) & ~done
 
-            skip = nodes_i_ref[nd, 0]
-            start = nodes_i_ref[nd, 1]
-            count = nodes_i_ref[nd, 2]
+            skip = ni(nd, 0)
+            start = ni(nd, 1)
+            count = ni(nd, 2)
             is_leaf = count > 0
 
             def do_leaf(tc):
@@ -271,10 +321,8 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             for w in range(window):
                 nd = jnp.minimum(base + w, n_nodes - 1)
                 valids.append(base + w < n_nodes)
-                bmin = (nodes_f_ref[nd, 0], nodes_f_ref[nd, 1],
-                        nodes_f_ref[nd, 2])
-                bmax = (nodes_f_ref[nd, 3], nodes_f_ref[nd, 4],
-                        nodes_f_ref[nd, 5])
+                bmin = (nf(nd, 0), nf(nd, 1), nf(nd, 2))
+                bmax = (nf(nd, 3), nf(nd, 4), nf(nd, 5))
                 t1 = tuple((bmin[k] - o[k]) * inv_d[k] for k in range(3))
                 t2 = tuple((bmax[k] - o[k]) * inv_d[k] for k in range(3))
                 t_near = jnp.maximum(
@@ -291,9 +339,9 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                     nearer = t_near < tc[0]
                 box_hits.append((t_far >= jnp.maximum(t_near, 0.0))
                                 & nearer & (active_f > 0.5))
-                skips.append(nodes_i_ref[nd, 0])
-                starts.append(nodes_i_ref[nd, 1])
-                counts.append(nodes_i_ref[nd, 2])
+                skips.append(ni(nd, 0))
+                starts.append(ni(nd, 1))
+                counts.append(ni(nd, 2))
 
             # Packed any()-reduce: two slots per i32 sum (11-bit count fields).
             anys = []
@@ -453,7 +501,8 @@ def make_shader(cfg: RenderConfig, vzero):
 
 def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
                  interleave: int = 0, scan: str = "parity",
-                 emi_const: tuple = (0.0, 0.0, 0.0), window: int = 1):
+                 emi_const: tuple = (0.0, 0.0, 0.0), window: int = 1,
+                 flat_table: bool = False, flat_nodes: bool = False):
     if scan not in ("parity", "fast"):
         raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
     fast = scan == "fast"
@@ -493,7 +542,8 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
 
         nearest_hit_multi = make_traversal(
             table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero,
-            scan=scan, window=window)
+            scan=scan, window=window, flat_table=flat_table,
+            flat_nodes=flat_nodes)
 
         def start_path(sample_idx):
             """Seed + camera ray for one progressive frame (path-state tuple)."""
@@ -570,19 +620,40 @@ def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
     radiance/segments are invariant in it (only pruning work changes)."""
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
+    # Memory placement: every traversal/leaf access is a scalar element load
+    # broadcast to the tile, and SMEM scalar loads are ~10× faster than VMEM
+    # ones — so pack as much as fits into the ~1 MB scalar memory, FLATTENED
+    # to 1-D (2-D SMEM refs pad every row to 128 lanes) and SLIMMED to the
+    # columns the scan reads (scan_columns: 64 B/tri fast, 80 parity). Nodes
+    # first (hot on every traversal step, tiny: 48 B/node), then the table.
+    # What doesn't fit stays 2-D in VMEM (correct, latency-bound).
+    smem_budget = 900 * 1024
+    cols = scan_columns(scan)
+    node_bytes = int(nodes_f.size + nodes_i.size) * 4
+    table_bytes = int(table.shape[0]) * len(cols) * 4
+    flat_nodes = node_bytes <= smem_budget
+    flat_table = flat_nodes and (node_bytes + table_bytes <= smem_budget)
     kernel = _make_kernel(cfg, int(nodes_f.shape[0]), max_leaf, n_samples,
                           interleave, scan=scan, emi_const=emi_const,
-                          window=window)
+                          window=window, flat_table=flat_table,
+                          flat_nodes=flat_nodes)
+    if flat_nodes:
+        nodes_f = nodes_f.reshape(-1)
+        nodes_i = nodes_i.reshape(-1)
+    if flat_table:
+        table = table[:, jnp.asarray(cols)].reshape(-1)
+    tspace = pltpu.SMEM if flat_table else pltpu.VMEM
+    nspace = pltpu.SMEM if flat_nodes else pltpu.VMEM
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # start_sample
-            # Whole tables resident in VMEM: direct (dynamically indexed) scalar
-            # loads are legal from VMEM/SMEM only — ANY would require async_copy.
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri table
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes_f
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes_i
+            # Direct (dynamically indexed) scalar loads are legal from
+            # VMEM/SMEM only — ANY would require async_copy.
+            pl.BlockSpec(memory_space=tspace),       # tri table
+            pl.BlockSpec(memory_space=nspace),       # nodes_f
+            pl.BlockSpec(memory_space=nspace),       # nodes_i
         ],
         out_specs=(
             pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
@@ -609,11 +680,20 @@ def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
     window=4 default: +19% on iteration-overhead-bound scenes (small/coherent),
     neutral on leaf-work-bound ones (large incoherent) — see make_traversal."""
     from oclpathtracer_tpu.kernels.megakernel import (
-        resolve_scan,
+        fast_scan_supported,
         scene_emissive_const,
     )
 
-    scan = resolve_scan(scene, scan)
+    # The BVH kernel's leaf tests support parity/fast only: "auto" picks the
+    # best it has; an explicit "tp" is an error (no silent substitution).
+    if scan == "tp":
+        raise ValueError("scan='tp' is not supported by the BVH kernel; "
+                         "use scan='auto' or 'fast'")
+    if scan == "auto":
+        scan = "fast" if fast_scan_supported(scene) else "parity"
+    elif scan == "fast" and not fast_scan_supported(scene):
+        raise ValueError("scan='fast' requested but the scene fails "
+                         "fast_scan_supported; use scan='auto'")
     emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
     table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=leaf_size)
     chunk = samples_per_call or total_spp

@@ -209,6 +209,16 @@ def scene_emissive_const(scene: Scene) -> tuple[float, float, float]:
 
 TP_CLASS_CAP = 16  # decode is an unrolled select chain — keep it short
 
+# Numeric-extent gate for the tp scan. Its forms carry magnitudes that grow
+# with the scene's distance from the world origin (tnum = k − o·N with
+# k = p1·N; unum/vnum mix cross(o,d) with cross(e,p1)), unlike parity/fast
+# which subtract o − p1 FIRST — so a scene sitting far from the origin
+# catastrophically cancels in f32 where parity stays exact. Gate: every
+# vertex must lie within TP_ORIGIN_FACTOR × the scene's bounding-box diagonal
+# of the origin (relative error in t scales like (dist/diag) · 2⁻²⁴ ≈ 1e-7 ·
+# dist/diag; 64 keeps it ≤ ~1e-5, comfortably inside the allclose contract).
+TP_ORIGIN_FACTOR = 64.0
+
 # tp table layout (T, 24) f32 — columns:
 #  0:3 N | 3:6 e1 | 6:9 e2 | 9:12 C1 | 12:15 C2 | 15 k |
 #  16 code = material class index + 1 (0 = "no hit") | 17:23 pad
@@ -240,13 +250,26 @@ def material_classes(scene: Scene):
 
 def tp_scan_supported(scene: Scene) -> bool:
     """True if the scene's materials dedupe to ≤ TP_CLASS_CAP classes with
-    diffuse/specular mtypes. Unlike fast_scan_supported there is NO shared-
-    emitter or roughness-range restriction — each class carries its own full
-    attribute tuple as baked constants."""
+    diffuse/specular mtypes, AND the geometry sits near the world origin
+    (every vertex within TP_ORIGIN_FACTOR × bbox diagonal — see the
+    TP_ORIGIN_FACTOR comment; far-from-origin scenes cancel catastrophically
+    in the tp forms and must use parity/fast). Unlike fast_scan_supported
+    there is NO shared-emitter or roughness-range restriction — each class
+    carries its own full attribute tuple as baked constants."""
     classes, _ = material_classes(scene)
     mty = np.asarray(scene.materials.mtype)
-    return bool(len(classes) <= TP_CLASS_CAP
-                and np.all((mty == 1) | (mty == 2)))
+    if not (len(classes) <= TP_CLASS_CAP
+            and np.all((mty == 1) | (mty == 2))):
+        return False
+    g = scene.geometry
+    verts = np.concatenate([np.asarray(g.p1, np.float64),
+                            np.asarray(g.p2, np.float64),
+                            np.asarray(g.p3, np.float64)])
+    if verts.shape[0] == 0:
+        return True
+    diag = float(np.linalg.norm(verts.max(0) - verts.min(0)))
+    dist = float(np.linalg.norm(verts, axis=-1).max())
+    return dist <= TP_ORIGIN_FACTOR * max(diag, 1e-12)
 
 
 def pack_scene_tp(scene: Scene):
@@ -865,11 +888,27 @@ def prepare_scan(scene: Scene, requested: str = "auto"):
     Returns (scan, table, emi_const, classes) — exactly the kwargs the kernel
     entry points take. The table layout depends on the scan (pack_scene_tp for
     'tp', pack_scene otherwise), so always pack through here when the scan is
-    not fixed ahead of time."""
+    not fixed ahead of time.
+
+    An EXPLICITLY requested 'tp'/'fast' is validated against its support
+    predicate and raises ValueError on a scene it can't encode (a silent
+    render would be wrong: tp's class table / fast's baked emitter constant
+    would mis-shade). 'auto' never raises — it only picks supported scans."""
     scan = resolve_scan(scene, requested)
     if scan == "tp":
+        if requested == "tp" and not tp_scan_supported(scene):
+            raise ValueError(
+                "scan='tp' requested but tp_scan_supported(scene) is False "
+                f"(> {TP_CLASS_CAP} material classes, non-diffuse/specular "
+                "mtype, or geometry too far from the origin — see "
+                "TP_ORIGIN_FACTOR); use scan='auto' to fall back")
         table, classes = pack_scene_tp(scene)
         return scan, table, (0.0, 0.0, 0.0), classes
+    if scan == "fast" and requested == "fast" and not fast_scan_supported(scene):
+        raise ValueError(
+            "scan='fast' requested but fast_scan_supported(scene) is False "
+            "(emitters with differing RGBs, roughness >= 4, or mtype not "
+            "diffuse/specular); use scan='auto' to fall back")
     table = pack_scene(scene)
     emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
     return scan, table, emi, ()

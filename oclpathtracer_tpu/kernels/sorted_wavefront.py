@@ -70,7 +70,8 @@ from oclpathtracer_tpu.scene.types import Scene
 _CELLS = 16
 
 
-def _make_bounce_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int):
+def _make_bounce_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int,
+                        flat_table: bool = False, flat_nodes: bool = False):
     """One path segment for a tile of rays: traversal + shade, state in/out."""
 
     def kernel(table_ref, nodes_f_ref, nodes_i_ref,
@@ -89,7 +90,8 @@ def _make_bounce_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int):
         state = st_ref[0]
 
         nearest_hit_multi = make_traversal(
-            table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero)
+            table_ref, nodes_f_ref, nodes_i_ref, n_nodes, max_leaf, vzero,
+            flat_table=flat_table, flat_nodes=flat_nodes)
         shade_one = make_shader(cfg, vzero)
 
         (tc,) = nearest_hit_multi([(o, d, live_f)])
@@ -123,7 +125,25 @@ def _bounce_step(table, nodes_f, nodes_i, cfg, max_leaf, o, d, mask, rad,
     (3, R) f32 / (R,) f32 / (R,) u32 with R a BLOCK multiple."""
     R = live.shape[0]
     nb = R // BLOCK
-    kernel = _make_bounce_kernel(cfg, int(nodes_f.shape[0]), max_leaf)
+    # SMEM placement for scalar-broadcast tables — same policy/rationale as
+    # bvh_megakernel.render_samples_bvh_stats (nodes first, then the table
+    # slimmed to the parity-scan columns this kernel reads).
+    from oclpathtracer_tpu.kernels.bvh_megakernel import scan_columns
+    smem_budget = 900 * 1024
+    cols = scan_columns("parity")
+    node_bytes = int(nodes_f.size + nodes_i.size) * 4
+    table_bytes = int(table.shape[0]) * len(cols) * 4
+    flat_nodes = node_bytes <= smem_budget
+    flat_table = flat_nodes and (node_bytes + table_bytes <= smem_budget)
+    kernel = _make_bounce_kernel(cfg, int(nodes_f.shape[0]), max_leaf,
+                                 flat_table=flat_table, flat_nodes=flat_nodes)
+    if flat_nodes:
+        nodes_f = nodes_f.reshape(-1)
+        nodes_i = nodes_i.reshape(-1)
+    if flat_table:
+        table = table[:, jnp.asarray(cols)].reshape(-1)
+    tspace = pltpu.SMEM if flat_table else pltpu.VMEM
+    nspace = pltpu.SMEM if flat_nodes else pltpu.VMEM
 
     def v3(x):
         return x.reshape(3, nb, SUB, LANE)
@@ -135,9 +155,9 @@ def _bounce_step(table, nodes_f, nodes_i, cfg, max_leaf, o, d, mask, rad,
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # tri table
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes_f
-            pl.BlockSpec(memory_space=pltpu.VMEM),   # nodes_i
+            pl.BlockSpec(memory_space=tspace),       # tri table
+            pl.BlockSpec(memory_space=nspace),       # nodes_f
+            pl.BlockSpec(memory_space=nspace),       # nodes_i
             _vec3_spec(), _vec3_spec(), _vec3_spec(), _vec3_spec(),
             _scalar_spec(), _scalar_spec(),
         ],

@@ -100,10 +100,18 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
         from oclpathtracer_tpu.kernels.megakernel import (
             fast_scan_supported, scene_emissive_const)
 
-        # The BVH kernel's leaf tests support parity/fast only; "auto"/"tp"
-        # degrade to the best it has.
-        if scan in ("auto", "tp"):
+        # The BVH kernel's leaf tests support parity/fast only; "auto"
+        # degrades to the best it has, but an EXPLICIT "tp" is an error
+        # (silent substitution would hide that the requested arithmetic
+        # never ran).
+        if scan == "tp":
+            raise ValueError("scan='tp' is not supported by the BVH kernel "
+                             "(backend='bvh'); use scan='auto' or 'fast'")
+        if scan == "auto":
             scan = "fast" if fast_scan_supported(scene) else "parity"
+        elif scan == "fast" and not fast_scan_supported(scene):
+            raise ValueError("scan='fast' requested but the scene fails "
+                             "fast_scan_supported; use scan='auto'")
         emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
         table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=32)
 

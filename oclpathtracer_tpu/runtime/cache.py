@@ -25,8 +25,16 @@ _enabled = False
 
 
 def enable_compilation_cache(cache_dir: str | None = None) -> str:
-    """Enable the persistent compilation cache (idempotent). Returns the dir used."""
+    """Enable the persistent compilation cache (idempotent). Returns the dir used.
+
+    Kill-switch: OCLPT_COMPILATION_CACHE=off (or "0"/"none") makes default-dir
+    enablement a no-op — used by the test suite, where thousands of tiny
+    interpret-mode kernel entries are useless and long cache-write sessions
+    have segfaulted inside jax's zstd writer. An EXPLICIT cache_dir argument
+    always wins (the cache's own unit tests exercise the real thing)."""
     global _enabled
+    if cache_dir is None and DEFAULT_CACHE_DIR.lower() in ("off", "0", "none"):
+        return ""
     d = cache_dir or DEFAULT_CACHE_DIR
     os.makedirs(d, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", d)

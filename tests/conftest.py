@@ -10,6 +10,14 @@ import os
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Tests must NOT enable the persistent compilation cache via the default dir
+# (the CLI does so as a side effect): thousands of interpret-mode entries are
+# useless across sessions, sharing the user-level dir with concurrent/killed
+# bench processes corrupts it, and long cache-write sessions have segfaulted
+# inside jax's zstd writer (deterministically, ~70 tests in). "off" is the
+# runtime.cache kill-switch; tests that exercise the cache itself pass an
+# explicit tmp dir, which bypasses it.
+os.environ["OCLPT_COMPILATION_CACHE"] = "off"
 
 import jax
 
@@ -19,6 +27,20 @@ import numpy as np
 import pytest
 
 from oclpathtracer_tpu.scene import load_cornell_box
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between test modules.
+
+    A full-suite session accumulates hundreds of CPU executables (every
+    interpret-mode Pallas kernel is a large XLA program); with all of them
+    live, XLA's CPU compiler segfaults deterministically on the next big
+    compile (observed at the wavefront kernel, ~70 tests in — cache on or
+    off, jax 0.8.x). Per-module cache clearing keeps the compiler healthy
+    and costs only recompiles of the handful of shared jitted helpers."""
+    jax.clear_caches()
+    yield
 
 
 @pytest.fixture(scope="session")

@@ -75,25 +75,11 @@ def test_non_block_aligned_image(scene):
 
 # ---------------- division-free fast scan ----------------
 
-def test_fast_scan_supported_cornell(scene):
-    from oclpathtracer_tpu.kernels.megakernel import (
-        fast_scan_supported, resolve_scan, scene_emissive_const)
-
-    assert fast_scan_supported(scene)
-    assert resolve_scan(scene, "auto") == "fast"
-    assert scene_emissive_const(scene) == (30.0, 30.0, 30.0)
-
-
-def test_fast_scan_unsupported_falls_back():
-    """Two emitters with different emissive RGBs can't share the baked
-    constant -> parity scan."""
-    from oclpathtracer_tpu.kernels.megakernel import (
-        fast_scan_supported, resolve_scan)
-    from oclpathtracer_tpu.scene import load_cornell_box
-
-    s = load_cornell_box()
+def _with_second_emitter(s):
+    """Cornell + a second light with a DIFFERENT emissive RGB (fails the fast
+    scan's shared-baked-emitter encoding; still only 6 material classes, so
+    the tp scan supports it)."""
     emi = np.asarray(s.materials.emissive).copy()
-    emitters = np.argwhere((emi != 0).any(axis=1)).ravel()
     emi = np.concatenate([emi, [[5.0, 1.0, 1.0]]])  # a second, different light
     mats = s.materials._replace(
         emissive=jnp.asarray(emi),
@@ -102,10 +88,163 @@ def test_fast_scan_unsupported_falls_back():
         roughness=jnp.concatenate([s.materials.roughness,
                                    s.materials.roughness[:1]]),
         mtype=jnp.concatenate([s.materials.mtype, s.materials.mtype[:1]]))
-    s2 = s._replace(materials=mats)
-    assert len(emitters) >= 1
+    return s._replace(materials=mats)
+
+
+def _with_many_classes(s):
+    """Cornell with every material's albedo made distinct (18 classes >
+    TP_CLASS_CAP=16 -> tp unsupported) AND two differing emitters (-> fast
+    unsupported): the scene that exercises the parity fallback."""
+    s2 = _with_second_emitter(s)
+    alb = np.asarray(s2.materials.albedo).copy()
+    alb[:, 0] = np.linspace(0.05, 0.95, alb.shape[0], dtype=np.float32)
+    return s2._replace(materials=s2.materials._replace(albedo=jnp.asarray(alb)))
+
+
+def test_fast_scan_supported_cornell(scene):
+    from oclpathtracer_tpu.kernels.megakernel import (
+        fast_scan_supported, resolve_scan, scene_emissive_const,
+        tp_scan_supported)
+
+    assert fast_scan_supported(scene)
+    assert tp_scan_supported(scene)
+    # auto prefers the tp scan on the canonical workload (fastest supported)
+    assert resolve_scan(scene, "auto") == "tp"
+    assert scene_emissive_const(scene) == (30.0, 30.0, 30.0)
+
+
+def test_fast_scan_unsupported_falls_back_to_tp(scene):
+    """Two emitters with different emissive RGBs can't share the fast scan's
+    baked constant; tp carries per-class emissives, so auto resolves tp."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        fast_scan_supported, resolve_scan, tp_scan_supported)
+
+    s2 = _with_second_emitter(scene)
     assert not fast_scan_supported(s2)
-    assert resolve_scan(s2, "auto") == "parity"
+    assert tp_scan_supported(s2)
+    assert resolve_scan(s2, "auto") == "tp"
+
+
+def test_scan_parity_fallback(scene):
+    """>TP_CLASS_CAP material classes + differing emitters fail BOTH encoded
+    scans -> the reference-exact parity scan."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        fast_scan_supported, material_classes, resolve_scan,
+        tp_scan_supported, TP_CLASS_CAP)
+
+    s3 = _with_many_classes(scene)
+    classes, _ = material_classes(s3)
+    assert len(classes) > TP_CLASS_CAP
+    assert not tp_scan_supported(s3)
+    assert not fast_scan_supported(s3)
+    assert resolve_scan(s3, "auto") == "parity"
+
+
+# ---------------- triple-product (tp) scan ----------------
+
+def test_material_classes_cornell(scene):
+    """Cornell's 18 material records dedupe to 5 classes (white/red/green
+    diffuse, gold specular, light) and the index round-trips every record."""
+    from oclpathtracer_tpu.kernels.megakernel import material_classes
+
+    classes, idx = material_classes(scene)
+    m = scene.materials
+    assert len(classes) == 5
+    assert idx.shape == (np.asarray(m.albedo).shape[0],)
+    for i in range(idx.shape[0]):
+        alb, emi, rough, mty = classes[idx[i]]
+        np.testing.assert_array_equal(np.asarray(m.albedo)[i], alb)
+        np.testing.assert_array_equal(np.asarray(m.emissive)[i], emi)
+        assert float(np.asarray(m.roughness)[i]) == rough
+        assert float(np.asarray(m.mtype)[i]) == mty
+
+
+def test_tp_scan_far_origin_unsupported(scene):
+    """Geometry far from the world origin fails the tp numeric-extent gate
+    (its triple-product forms cancel catastrophically there); auto falls back
+    to the fast scan, whose o - p1 subtraction stays exact."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        resolve_scan, tp_scan_supported)
+
+    g = scene.geometry
+    shift = jnp.asarray([1.0e5, 0.0, 0.0], jnp.float32)
+    g2 = g._replace(p1=g.p1 + shift, p2=g.p2 + shift, p3=g.p3 + shift)
+    s2 = scene._replace(geometry=g2)
+    assert not tp_scan_supported(s2)
+    assert resolve_scan(s2, "auto") == "fast"
+
+
+def test_prepare_scan_explicit_tp_raises(scene):
+    """Explicitly requested 'tp'/'fast' on an unsupported scene must raise,
+    not render silently wrong (ADVICE r2)."""
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
+
+    s3 = _with_many_classes(scene)
+    with pytest.raises(ValueError, match="tp"):
+        prepare_scan(s3, "tp")
+    with pytest.raises(ValueError, match="fast"):
+        prepare_scan(s3, "fast")
+    # auto on the same scene is fine (resolves parity)
+    scan, _, _, _ = prepare_scan(s3, "auto")
+    assert scan == "parity"
+
+
+def test_driver_bvh_explicit_tp_raises(scene):
+    from oclpathtracer_tpu.render.driver import make_kernel_render_step
+
+    with pytest.raises(ValueError, match="tp"):
+        make_kernel_render_step(scene, CFG, 1, backend="bvh", scan="tp")
+
+
+def test_tp_scan_matches_parity_megakernel(scene):
+    """The tp scan must agree with the reference-exact parity scan: same
+    traced segments (ulp-boundary hit flips possible in principle, absent at
+    this resolution/spp) and allclose images."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        prepare_scan, render_samples_pallas_stats)
+
+    scan, table, emi, classes = prepare_scan(scene, "tp")
+    assert scan == "tp" and len(classes) == 5
+    img_p, segs_p = render_samples_pallas_stats(pack_scene(scene), CFG, 0, 2,
+                                                scan="parity")
+    img_t, segs_t = render_samples_pallas_stats(table, CFG, 0, 2, scan="tp",
+                                                classes=classes)
+    assert abs(float(segs_p) - float(segs_t)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_scan_matches_parity_wavefront(scene):
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
+    from oclpathtracer_tpu.kernels.wavefront import render_samples_wavefront_stats
+
+    scan, table, emi, classes = prepare_scan(scene, "tp")
+    img_p, segs_p = render_samples_wavefront_stats(pack_scene(scene), CFG, 0, 2,
+                                                   interleave=1, scan="parity")
+    img_t, segs_t = render_samples_wavefront_stats(table, CFG, 0, 2,
+                                                   interleave=1, scan="tp",
+                                                   classes=classes)
+    assert abs(float(segs_p) - float(segs_t)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_scan_second_emitter_shades_per_class(scene):
+    """A two-emitter scene (fast-unsupported) renders correctly under tp:
+    allclose to the parity scan on the same scene."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        prepare_scan, render_samples_pallas_stats)
+
+    s2 = _with_second_emitter(scene)
+    scan, table, emi, classes = prepare_scan(s2, "auto")
+    assert scan == "tp"
+    img_p, segs_p = render_samples_pallas_stats(pack_scene(s2), CFG, 0, 1,
+                                                scan="parity")
+    img_t, segs_t = render_samples_pallas_stats(table, CFG, 0, 1, scan="tp",
+                                                classes=classes)
+    assert abs(float(segs_p) - float(segs_t)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_fast_scan_matches_parity_megakernel(scene):
