@@ -118,6 +118,68 @@ def tri_scan(tri_body, init, n_tris: int, tri_unroll: int):
     return jax.lax.fori_loop(0, n_tris // PARTIAL_UNROLL, outer, init)
 
 
+def resolve_scan_chunks(n_tris: int, requested: int = 0,
+                        interleave: int = 0) -> int:
+    """0 = auto: independent scan chunks for the small-scene unrolled scan.
+
+    The best-hit scan's order-test + select chain is serial in triangle index —
+    a ~3-op dependency chain per triangle that sample interleaving only hides
+    up to the register budget. Splitting the scan into K independent chunks
+    (each with its own fresh best-hit state, merged pairwise afterwards) cuts
+    the chain depth K× for ~10 extra merge ops per chunk, WITHOUT duplicating
+    ray/shading state the way wider interleave does. Applies only to the
+    fully-unrolled small-scene path (big scenes are latency-bound elsewhere).
+
+    Parity scan: bitwise-identical to the in-order scan (float '<' is a total
+    order on the finite t values, and every merge prefers the earlier chunk on
+    ties, so the global first-min is preserved exactly). fast/tp scans: the
+    merge compares cross-products of different pairs than the in-order scan
+    would, so decisions can shift at ulp comparison boundaries — the same
+    allclose contract those scans already carry.
+
+    Measured (v5e, Cornell 4-bounce megakernel, tp, same session): at
+    interleave 16, chunks 1/2/4 = 1054/1072/1043 Mrays/s (+1.6% at 2); at
+    interleave 8, chunks 2 LOSES ~3.5% (the streams already cover the chain
+    latency and the merge ops + extra live state only cost) — so auto enables
+    chunking only alongside 16-way interleave."""
+    if requested:
+        return requested
+    return 2 if (n_tris >= 8 and interleave >= 16) else 1
+
+
+def chunk_bounds(n_tris: int, chunks: int) -> list:
+    """Contiguous [lo, hi) triangle ranges for the chunked scan."""
+    bounds = [round(i * n_tris / chunks) for i in range(chunks + 1)]
+    return list(zip(bounds[:-1], bounds[1:]))
+
+
+def merge_frac_tc(a, b):
+    """Merge two fraction-tracked best hits ((num, den, ...) — fast/tp scans);
+    earlier chunk wins ties (strict '<'), matching the in-order scan's
+    first-min rule. Both dens are > 0 (backface cull / init 1)."""
+    selB = b[0] * a[1] < a[0] * b[1]
+
+    def pick(x, y):
+        if isinstance(x, tuple):
+            return _where3(selB, y, x)
+        return jnp.where(selB, y, x)
+
+    return tuple(pick(x, y) for x, y in zip(a, b))
+
+
+def merge_parity_tc(a, b):
+    """Merge two parity-scan best hits ((best_t, ...)); earlier chunk wins
+    ties, so chunked == in-order bitwise (total order on finite floats)."""
+    selB = b[0] < a[0]
+
+    def pick(x, y):
+        if isinstance(x, tuple):
+            return _where3(selB, y, x)
+        return jnp.where(selB, y, x)
+
+    return tuple(pick(x, y) for x, y in zip(a, b))
+
+
 def resolve_interleave(n_samples: int, requested: int = 0) -> int:
     """0 = auto: widest of 8/4/2/1 that divides n_samples.
 
@@ -125,11 +187,14 @@ def resolve_interleave(n_samples: int, requested: int = 0) -> int:
     independent instruction streams — it hides the cross/dot/rsqrt dependency
     chains the single-sample kernel stalls on. Measured (v5e, 512² Cornell,
     64 spp, full tri unroll): 1→4→8 way = 723→780→803 Mrays/s at 4 bounces,
-    456→562→574 at 16. Output is bitwise-invariant in k (same per-sample math,
-    same accumulation order)."""
+    456→562→574 at 16 (parity scan, round 1); 8→16 way adds +0.2-1.8% on
+    every scan/bounce combination measured (round 3 — the tp scan's slimmer
+    tracked state leaves register headroom that wider interleave uses).
+    Output is bitwise-invariant in k (same per-sample math, same accumulation
+    order)."""
     if requested:
         return requested
-    for k in (8, 4, 2):
+    for k in (16, 8, 4, 2):
         if n_samples % k == 0:
             return k
     return 1
@@ -292,6 +357,29 @@ def pack_scene_tp(scene: Scene):
     return jnp.asarray(tbl), classes
 
 
+def augment_table_tp0(table: jnp.ndarray, eye) -> jnp.ndarray:
+    """Fill a pack_scene_tp table's pad columns with bounce-0 constants.
+
+    Every path's FIRST segment starts at the shared camera origin (o == eye,
+    GenerateColors.cl:267), so the tp forms collapse to single dots with
+    per-triangle host-precomputable vectors: with m = cross(eye, d) and the
+    triple-product identity a·(b×c) = c·(a×b),
+        unum = e2·m − d·C1 = d·(e2×eye − C1) = d·U
+        vnum = d·C2 − e1·m = d·(C2 − e1×eye) = d·V
+        tnum = k − eye·N   = t0               (a per-triangle scalar)
+    — 9 dot-ops/tri instead of 21 (see tri_body_tp0). Columns 17:20 = U,
+    20:23 = V, 23 = t0. Zero (pad) rows stay inert: t0 = 0 fails the tnum > 0
+    test. Algebraically equal to the generic tp forms; rounds differently
+    (the scan's existing ulp/allclose contract)."""
+    e1 = table[:, 3:6]
+    e2 = table[:, 6:9]
+    eye = jnp.asarray(eye, jnp.float32)
+    u = jnp.cross(e2, jnp.broadcast_to(eye, e2.shape)) - table[:, 9:12]
+    v = table[:, 12:15] - jnp.cross(e1, jnp.broadcast_to(eye, e1.shape))
+    t0 = table[:, 15] - table[:, 0:3] @ eye
+    return jnp.concatenate([table[:, :17], u, v, t0[:, None]], axis=1)
+
+
 def decode_tp_tc(tc, classes, vzero, vone):
     """Decode the tp scan's tracked channels to the parity best-hit tuple.
 
@@ -400,7 +488,8 @@ def _camera_constants(cfg: RenderConfig):
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  tri_unroll: int = 0, interleave: int = 0,
                  flat_table: bool = True, scan: str = "parity",
-                 emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = ()):
+                 emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = (),
+                 scan_chunks: int = 0, tp0: bool = False):
     """Build the kernel body with all static config baked in.
 
     flat_table: the scene table ref is 1-D (T*24,) in SMEM (fast scalar loads,
@@ -431,8 +520,24 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     tp = scan == "tp"
     if tp and not classes:
         raise ValueError("scan='tp' needs the classes tuple from pack_scene_tp")
+    # Bounce-0 specialization needs the tp table's augment_table_tp0 columns
+    # and the small-scene peeled loop; the big-scene while_loop keeps one body.
+    tp0 = tp0 and tp and n_tris <= TRI_UNROLL_CAP and cfg.bounces >= 1
     tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
+    auto_il = interleave == 0
     interleave = resolve_interleave(n_samples, interleave)
+    if auto_il and _interpret():
+        # Off-TPU the kernel runs interpreted for correctness only, and
+        # trace/lower time grows with streams × unrolled scan size — bound the
+        # AUTO pick (explicit requests are honored) to keep CPU tests fast.
+        # Megakernel output is bitwise-invariant in interleave, so this does
+        # not change what the tests check.
+        interleave = min(interleave, 4)
+    # Chunked scan applies only to the fully-unrolled small-scene path (see
+    # resolve_scan_chunks); big rolled scans keep the in-order loop.
+    scan_chunks = resolve_scan_chunks(n_tris, scan_chunks, interleave)
+    if n_tris > TRI_UNROLL_CAP or scan_chunks > n_tris:
+        scan_chunks = 1
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
     view, hol, upd, angle, eye = _camera_constants(cfg)
@@ -489,18 +594,25 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  vzero + eye[2])
             return (o, d, (ones, ones, ones), (zeros, zeros, zeros), vone, state)
 
-        def scan_multi(rays):
+        def scan_multi(rays, primary=False):
             """Nearest-hit scan (in-order, strict '<' ≡ reference intersectWorld,
             GenerateColors.cl:137-154; winning attributes tracked incrementally —
             no gather), MERGED across the group's streams: each triangle's 20
             scalar loads happen ONCE and feed every stream's vector tests. For
             big rolled-scan tables this amortizes the scalar-load latency that
             otherwise dominates; per-stream results are bitwise-identical to
-            separate scans. rays: [(o, d)] per stream."""
+            separate scans. rays: [(o, d)] per stream.
+
+            primary=True (tp0 only): every ray starts at the camera origin, so
+            the scan uses tri_body_tp0's collapsed single-dot forms against
+            augment_table_tp0's precomputed columns."""
+            use_tp0 = tp0 and primary
 
             # tp scan: one cross(o, d) per stream per bounce feeds every
-            # triangle's unum/vnum triple products.
-            ms = [_cross3(o, d) for (o, d) in rays] if tp else None
+            # triangle's unum/vnum triple products (not needed for tp0 —
+            # the m-dependence is folded into the U/V columns).
+            ms = [_cross3(o, d) for (o, d) in rays] if tp and not use_tp0 \
+                else None
 
             def fresh():
                 if tp:
@@ -520,6 +632,33 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                         (zeros, zeros, zeros),  # emissive
                         zeros,                  # roughness
                         zeros)  # mtype as f32 (Mosaic: no i1-vector truncs)
+
+            def tri_body_tp0(j, tcs):
+                """Primary-segment tp scan: o == eye folds each triangle's
+                forms into three dots with d plus a scalar tnum (see
+                augment_table_tp0) — 9 dot-ops/tri vs the generic body's 21."""
+                nv = (tl(j, 0), tl(j, 1), tl(j, 2))
+                uu = (tl(j, 17), tl(j, 18), tl(j, 19))
+                vv = (tl(j, 20), tl(j, 21), tl(j, 22))
+                t0 = tl(j, 23)
+                code = tl(j, 16)
+                out = []
+                for (o, d), tc in zip(rays, tcs):
+                    bnum, bden, bN, bcode = tc
+                    det = _dot3(d, nv)
+                    unum = _dot3(d, uu)
+                    vnum = _dot3(d, vv)
+                    inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                         det - (unum + vnum)) >= 0.0
+                    sel = ((det >= 1e-8) & inside & (t0 > 0.0)
+                           & (t0 * bden < bnum * det))
+                    bnum = jnp.where(sel, vzero + t0, bnum)
+                    bden = jnp.where(sel, det, bden)
+                    bN = _where3(sel, (vzero + nv[0], vzero + nv[1],
+                                       vzero + nv[2]), bN)
+                    bcode = jnp.where(sel, code, bcode)
+                    out.append((bnum, bden, bN, bcode))
+                return tuple(out)
 
             def tri_body_tp(j, tcs):
                 """Triple-product scan (see the material_classes block comment;
@@ -627,9 +766,28 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                     out.append((best_t, bn, balb, bemi, brough, bmty))
                 return tuple(out)
 
-            body = tri_body_tp if tp else (tri_body_fast if fast else tri_body)
-            return tri_scan(body, tuple(fresh() for _ in rays), n_tris,
-                            tri_unroll)
+            if use_tp0:
+                body = tri_body_tp0
+            else:
+                body = tri_body_tp if tp else (
+                    tri_body_fast if fast else tri_body)
+            if scan_chunks <= 1:
+                return tri_scan(body, tuple(fresh() for _ in rays), n_tris,
+                                tri_unroll)
+            # K independent best-hit chains (chain-depth / K), merged pairwise
+            # in chunk order — see resolve_scan_chunks for the exactness
+            # contract per scan mode.
+            merge = merge_parity_tc if scan == "parity" else merge_frac_tc
+            parts = []
+            for lo, hi in chunk_bounds(n_tris, scan_chunks):
+                tcs = tuple(fresh() for _ in rays)
+                for j in range(lo, hi):
+                    tcs = body(j, tcs)
+                parts.append(tcs)
+            out = parts[0]
+            for p in parts[1:]:
+                out = tuple(merge(a, b) for a, b in zip(out, p))
+            return out
 
         def shade_one(path, tc):
             """Post-scan part of one bounce for one stream."""
@@ -762,16 +920,28 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                 # answer at high bounce caps), and per-stream scans (the fully
                 # unrolled straight-line scans already overlap/CSE in the
                 # scheduler; merging them measured slightly slower here).
-                def bounce_body(_, carry):
+                def bounce_step(carry, primary=False):
                     paths, sg = carry
                     for p in paths:
                         sg = sg + p[4]  # entrants this bounce
-                    tcs = [scan_multi([(p[0], p[1])])[0] for p in paths]
+                    tcs = [scan_multi([(p[0], p[1])], primary=primary)[0]
+                           for p in paths]
                     return tuple(shade_one(p, tc)
                                  for p, tc in zip(paths, tcs)), sg
 
-                paths, sg = jax.lax.fori_loop(0, bounces, bounce_body,
-                                              (paths, sg))
+                def bounce_body(_, carry):
+                    return bounce_step(carry)
+
+                carry = (paths, sg)
+                if tp0:
+                    # Peel bounce 0: every path in a fresh group starts at the
+                    # camera origin → the cheaper tri_body_tp0 scan applies.
+                    carry = bounce_step(carry, primary=True)
+                    paths, sg = jax.lax.fori_loop(1, bounces, bounce_body,
+                                                  carry)
+                else:
+                    paths, sg = jax.lax.fori_loop(0, bounces, bounce_body,
+                                                  carry)
             for p in paths:
                 rad = p[3]
                 # max(radiance, 0) — GenerateColors.cl:260
@@ -797,13 +967,14 @@ def _interpret() -> bool:
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "n_samples", "n_rays", "tri_unroll",
                                     "scan", "emi_const", "interleave",
-                                    "classes"))
+                                    "classes", "scan_chunks", "tp0"))
 def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
                                 start_sample, n_samples: int,
                                 pid_base=0, n_rays: int | None = None,
                                 tri_unroll: int = 0, scan: str = "parity",
                                 emi_const: tuple = (0.0, 0.0, 0.0),
-                                interleave: int = 0, classes: tuple = ()):
+                                interleave: int = 0, classes: tuple = (),
+                                scan_chunks: int = 0, tp0: bool = True):
     """SUM of `n_samples` progressive 1-spp frames + traced-segment count.
 
     Returns (img (n_rays, 3) f32, segments () f32). `table` is pack_scene(scene);
@@ -814,9 +985,22 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     `pid_base`/`n_rays` support shard_map tiling: a device rendering pixels
     [pid_base, pid_base + n_rays) passes its offset so RNG/camera stay keyed on
     absolute ids (bitwise layout invariance).
+
+    `scan_chunks` (0 = auto) splits the small-scene unrolled scan into K
+    independent best-hit chains merged afterwards — see resolve_scan_chunks
+    for the ILP rationale and per-scan exactness contract.
+
+    `tp0` (tp scan only, default on): peel bounce 0 onto the collapsed
+    primary-segment scan (augment_table_tp0 / tri_body_tp0) — same allclose
+    contract as the tp scan itself.
     """
     n_pix = n_rays if n_rays is not None else cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
+    if scan == "tp" and tp0:
+        # Fill the tp table's pad columns with the bounce-0 constants the
+        # peeled primary-segment scan reads (no-op for other scans; padded
+        # zero rows stay inert — see augment_table_tp0).
+        table = augment_table_tp0(table, _camera_constants(cfg)[4])
     table = pad_table(table)
     # The scene table lives in SMEM while it fits, FLATTENED to 1-D so rows
     # aren't lane-padded (96 B/tri instead of 512 → ~8k tris); bigger scenes
@@ -825,7 +1009,8 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
     flat = int(table.shape[0]) <= SMEM_TABLE_MAX_TRIS
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll,
                           interleave=interleave, flat_table=flat, scan=scan,
-                          emi_const=emi_const, classes=classes)
+                          emi_const=emi_const, classes=classes,
+                          scan_chunks=scan_chunks, tp0=tp0)
     if flat:
         table = table.reshape(-1)
     table_space = pltpu.SMEM if flat else pltpu.VMEM

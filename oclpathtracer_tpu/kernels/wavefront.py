@@ -52,9 +52,14 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _safe_denom,
     _scale3,
     _where3,
+    TRI_UNROLL_CAP,
+    chunk_bounds,
     decode_fast_tc,
     decode_tp_tc,
+    merge_frac_tc,
+    merge_parity_tc,
     pack_scene,
+    resolve_scan_chunks,
     resolve_tri_unroll,
 )
 from oclpathtracer_tpu.scene.types import Scene
@@ -68,27 +73,41 @@ def resolve_stream_interleave(n_samples: int, bounces: int,
     the VPU k independent instruction chains. Unlike the megakernel's grouped
     form, streams need not divide n_samples (stream i owns samples ≡ i mod k and
     simply runs dry early). Measured (v5e, 512² Cornell, 64 spp, full tri
-    unroll), k=1/2/4/8: 4-bounce 628/701/743/796 Mrays/s; 8-bounce -/680/717/727;
-    16-bounce 586/641/640/601 — deep loops carry more live state, so wide
-    interleave starts spilling and k=2 wins past 8 bounces. k>1 changes
-    accumulation order (per-stream partials summed in stream order) so output is
-    allclose-but-not-bitwise vs k=1."""
+    unroll), parity scan round 1, k=1/2/4/8: 4-bounce 628/701/743/796 Mrays/s;
+    8-bounce -/680/717/727; 16-bounce 586/641/640/601. Round 3 (slimmer tp/fast
+    tracked state → less spill pressure), same-session: 16-bounce tp k=2/4/8 =
+    666/821/786 (+23% at 4), fast k=2/4 = 727/742, parity k=2/4 = 654/653
+    (flat); 4-bounce k=8/16: tp 986/1011, fast 889/957, parity 823/843 — so
+    auto is 16 shallow, 4 deep. k>1 changes accumulation order (per-stream
+    partials summed in stream order) so output is allclose-but-not-bitwise vs
+    k=1."""
     if requested:
         return requested
-    k = 8 if bounces <= 8 else 2
+    k = 16 if bounces <= 8 else 4
     return min(k, max(n_samples, 1))
 
 
 def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  interleave: int = 0, scan: str = "parity",
-                 emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = ()):
+                 emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = (),
+                 scan_chunks: int = 0):
     if scan not in ("parity", "fast", "tp"):
         raise ValueError(f"scan must be 'parity', 'fast' or 'tp', got {scan!r}")
     fast = scan == "fast"
     tp = scan == "tp"
     if tp and not classes:
         raise ValueError("scan='tp' needs the classes tuple from pack_scene_tp")
+    auto_k = interleave == 0
     interleave = resolve_stream_interleave(n_samples, cfg.bounces, interleave)
+    if auto_k and _interpret():
+        # Bound the AUTO stream count off-TPU — interpret-mode trace time
+        # grows with streams × unrolled scan size and the knob is perf-only
+        # (any k is allclose; tests pinning bitwise behavior pass k
+        # explicitly). See megakernel._make_kernel for the same rule.
+        interleave = min(interleave, 4)
+    scan_chunks = resolve_scan_chunks(n_tris, scan_chunks)
+    if n_tris > TRI_UNROLL_CAP or scan_chunks > n_tris:
+        scan_chunks = 1
     W, H = cfg.width, cfg.height
     bounces = cfg.bounces
     view, hol, upd, angle, eye = _camera_constants(cfg)
@@ -271,30 +290,48 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                 bmty = jnp.where(sel, table_ref[j, 19], bmty)
                 return best_t, bn, balb, bemi, brough, bmty
 
+            def run_scan(body, fresh, merge):
+                """In-order scan, or scan_chunks independent chains merged in
+                chunk order (see megakernel.resolve_scan_chunks)."""
+                if scan_chunks <= 1:
+                    return jax.lax.fori_loop(
+                        0, n_tris, body, fresh(),
+                        unroll=resolve_tri_unroll(n_tris))
+                parts = []
+                for lo, hi in chunk_bounds(n_tris, scan_chunks):
+                    tc = fresh()
+                    for j in range(lo, hi):
+                        tc = body(j, tc)
+                    parts.append(tc)
+                out = parts[0]
+                for p in parts[1:]:
+                    out = merge(out, p)
+                return out
+
             if tp:
-                init_tc = (vzero + T_MAX, vone, (zeros, zeros, zeros), zeros)
-                ftc = jax.lax.fori_loop(
-                    0, n_tris, tri_body_tp, init_tc,
-                    unroll=resolve_tri_unroll(n_tris))
+                ftc = run_scan(
+                    tri_body_tp,
+                    lambda: (vzero + T_MAX, vone, (zeros, zeros, zeros), zeros),
+                    merge_frac_tc)
                 best_t, bn, balb, bemi, brough, bmty = decode_tp_tc(
                     ftc, classes, vzero, vone)
                 hit = best_t < T_MAX
             elif fast:
-                init_tc = (vzero + T_MAX, vone, (zeros, zeros, zeros),
-                           (zeros, zeros, zeros), zeros)
-                ftc = jax.lax.fori_loop(
-                    0, n_tris, tri_body_fast, init_tc,
-                    unroll=resolve_tri_unroll(n_tris))
+                ftc = run_scan(
+                    tri_body_fast,
+                    lambda: (vzero + T_MAX, vone, (zeros, zeros, zeros),
+                             (zeros, zeros, zeros), zeros),
+                    merge_frac_tc)
                 best_t, bn, balb, bemi, brough, bmty = decode_fast_tc(
                     ftc, emi_const)
                 hit = best_t < T_MAX
             else:
-                init_tc = (vzero + T_MAX, (zeros, zeros, zeros),
-                           (zeros, zeros, zeros), (zeros, zeros, zeros),
-                           zeros, zeros)
-                best_t, bn, balb, bemi, brough, bmty = jax.lax.fori_loop(
-                    0, n_tris, tri_body, init_tc,
-                    unroll=resolve_tri_unroll(n_tris))
+                best_t, bn, balb, bemi, brough, bmty = run_scan(
+                    tri_body,
+                    lambda: (vzero + T_MAX, (zeros, zeros, zeros),
+                             (zeros, zeros, zeros), (zeros, zeros, zeros),
+                             zeros, zeros),
+                    merge_parity_tc)
                 hit = best_t < T_MAX
 
             miss = live & ~hit
@@ -418,23 +455,27 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interleave",
-                                              "scan", "emi_const", "classes"))
+                                              "scan", "emi_const", "classes",
+                                              "scan_chunks"))
 def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
                                    start_sample, n_samples: int,
                                    interleave: int = 0, scan: str = "parity",
                                    emi_const: tuple = (0.0, 0.0, 0.0),
-                                   classes: tuple = ()):
+                                   classes: tuple = (), scan_chunks: int = 0):
     """SUM of n_samples frames via path regeneration + traced-segment count.
 
     interleave: independent per-lane path streams (0 = auto; see
     resolve_stream_interleave). 1 is bitwise-identical to the megakernel;
     k>1 reorders the per-lane accumulation (allclose, not bitwise).
     scan: "parity" | "fast" | "tp" — see kernels/megakernel._make_kernel.
+    scan_chunks: independent scan chains merged post-hoc (0 = auto; see
+    megakernel.resolve_scan_chunks).
     """
     n_pix = cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, interleave,
-                          scan=scan, emi_const=emi_const, classes=classes)
+                          scan=scan, emi_const=emi_const, classes=classes,
+                          scan_chunks=scan_chunks)
     out, segs = pl.pallas_call(
         kernel,
         grid=(nb,),
