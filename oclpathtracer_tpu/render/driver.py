@@ -24,9 +24,11 @@ from oclpathtracer_tpu.render import checkpoint as ckpt
 from oclpathtracer_tpu.scene.types import Scene
 
 
-# The linear megakernel keeps the whole (T, 24) triangle table in SMEM, padded to
-# 128 lanes per row (512 B/tri); past this count the auto backend switches to the
-# BVH kernel (whole tables in VMEM, log-ish traversal).
+# Auto-backend crossover: the linear megakernel (flat 1-D SMEM table, 96 B/tri,
+# hard cap ~8k tris) beats the BVH kernel up to ~1k triangles, where the
+# brute-force scan cost overtakes the BVH's traversal overhead. Measured round 3
+# (sphere_field, 256², 4-bounce, same session): 324 tris linear 38.4 vs BVH
+# 35.5 Mrays/s; 1.3k tris linear 23.6 vs BVH 30.5; 12.8k linear 2.2 vs BVH 5.0.
 LINEAR_KERNEL_MAX_TRIS = 1024
 
 

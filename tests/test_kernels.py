@@ -229,6 +229,53 @@ def test_tp_scan_matches_parity_wavefront(scene):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_tp0_peeled_bounce_matches_generic_tp(scene):
+    """The bounce-0 specialized scan (tp0: collapsed single-dot forms against
+    augment_table_tp0's precomputed columns) must agree with the generic tp
+    scan: same segments, allclose images (algebraically equal, rounds
+    differently)."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        prepare_scan, render_samples_pallas_stats)
+
+    scan, table, emi, classes = prepare_scan(scene, "tp")
+    kw = dict(scan="tp", classes=classes, interleave=1, scan_chunks=1)
+    img_g, segs_g = render_samples_pallas_stats(table, CFG, 0, 2, tp0=False,
+                                                **kw)
+    img_0, segs_0 = render_samples_pallas_stats(table, CFG, 0, 2, tp0=True,
+                                                **kw)
+    assert abs(float(segs_g) - float(segs_0)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_0), np.asarray(img_g),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_scan_chunks_parity_bitwise_tp_allclose(scene):
+    """Chunked best-hit scan: parity must be BITWISE-identical to the in-order
+    scan (float '<' total order + earlier-chunk tie preference preserves the
+    global first-min); tp carries the ulp/allclose contract. Segment counts
+    agree for both."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        prepare_scan, render_samples_pallas_stats)
+
+    img_p1, segs_p1 = render_samples_pallas_stats(
+        pack_scene(scene), CFG, 0, 2, scan="parity", interleave=1,
+        scan_chunks=1)
+    img_p3, segs_p3 = render_samples_pallas_stats(
+        pack_scene(scene), CFG, 0, 2, scan="parity", interleave=1,
+        scan_chunks=3)
+    assert float(segs_p1) == float(segs_p3)
+    assert (np.asarray(img_p1) == np.asarray(img_p3)).all()
+
+    scan, table, emi, classes = prepare_scan(scene, "tp")
+    kw = dict(scan="tp", classes=classes, interleave=1, tp0=False)
+    img_t1, segs_t1 = render_samples_pallas_stats(table, CFG, 0, 2,
+                                                  scan_chunks=1, **kw)
+    img_t3, segs_t3 = render_samples_pallas_stats(table, CFG, 0, 2,
+                                                  scan_chunks=3, **kw)
+    assert abs(float(segs_t1) - float(segs_t3)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_t3), np.asarray(img_t1),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_tp_scan_second_emitter_shades_per_class(scene):
     """A two-emitter scene (fast-unsupported) renders correctly under tp:
     allclose to the parity scan on the same scene."""
