@@ -180,8 +180,10 @@ def merge_parity_tc(a, b):
     return tuple(pick(x, y) for x, y in zip(a, b))
 
 
-def resolve_interleave(n_samples: int, requested: int = 0) -> int:
-    """0 = auto: widest of 8/4/2/1 that divides n_samples.
+def resolve_interleave(n_samples: int, requested: int = 0,
+                       bounces: int = 0) -> int:
+    """0 = auto: widest of 16/8/4/2/1 that divides n_samples (16 only at
+    bounce depth ≤ 8).
 
     Interleaving k independent samples through one bounce loop gives the VPU k
     independent instruction streams — it hides the cross/dot/rsqrt dependency
@@ -191,10 +193,16 @@ def resolve_interleave(n_samples: int, requested: int = 0) -> int:
     every scan/bounce combination measured (round 3 — the tp scan's slimmer
     tracked state leaves register headroom that wider interleave uses).
     Output is bitwise-invariant in k (same per-sample math, same accumulation
-    order)."""
+    order).
+
+    Auto caps at 8 past 8 bounces: kernel code size ≈ streams × bounce-loop
+    body, and Mosaic compile time grows superlinearly with it (measured ~9 min
+    cold for the 16-bounce il=16 kernel vs ~2-3 min at il=8) — for +1.8% on a
+    configuration where the wavefront kernel wins anyway."""
     if requested:
         return requested
-    for k in (16, 8, 4, 2):
+    widths = (16, 8, 4, 2) if 0 < bounces <= 8 else (8, 4, 2)
+    for k in widths:
         if n_samples % k == 0:
             return k
     return 1
@@ -522,10 +530,15 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
         raise ValueError("scan='tp' needs the classes tuple from pack_scene_tp")
     # Bounce-0 specialization needs the tp table's augment_table_tp0 columns
     # and the small-scene peeled loop; the big-scene while_loop keeps one body.
-    tp0 = tp0 and tp and n_tris <= TRI_UNROLL_CAP and cfg.bounces >= 1
+    # Past 8 bounces the peel is disabled like the 16-way interleave: it adds
+    # one extra unrolled scan per stream to the kernel (Mosaic compile time
+    # grows superlinearly in code size) for +1.9% on a depth where the
+    # wavefront kernel wins anyway (vs +4% median at the 4-bounce headline).
+    tp0 = (tp0 and tp and n_tris <= TRI_UNROLL_CAP
+           and 1 <= cfg.bounces <= 8)
     tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
     auto_il = interleave == 0
-    interleave = resolve_interleave(n_samples, interleave)
+    interleave = resolve_interleave(n_samples, interleave, cfg.bounces)
     if auto_il and _interpret():
         # Off-TPU the kernel runs interpreted for correctness only, and
         # trace/lower time grows with streams × unrolled scan size — bound the
