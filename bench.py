@@ -14,8 +14,9 @@ Ray accounting counts TRACED segments (lanes alive at each bounce's intersection
 not pixels x bounces — dead lanes don't inflate the number. The count is the
 kernel's own per-bounce live-lane tally, so it is exact for what it executes.
 
-Hot path: the fused Pallas megakernel with the division-free fast scan
-(kernels/megakernel.py, scan="fast" — allclose to the parity scan, decisions
+Hot path: the fused Pallas megakernel at its auto knobs — triple-product tp
+scan, 16-way sample interleave, chunked best-hit chains, peeled bounce-0 scan
+(kernels/megakernel.py; allclose to the reference-exact parity scan, decisions
 differ only at ulp comparison boundaries). Timing is best-of-N compiled
 invocations: the tunnel TPU's absolute throughput drifts run to run (shared
 chip), and best-of is the standard way to report the kernel's own speed.
