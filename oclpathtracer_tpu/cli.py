@@ -55,13 +55,16 @@ def _cmd_render(args) -> int:
         from oclpathtracer_tpu.kernels.megakernel import render_pallas
 
         img = render_pallas(scene, cfg, args.spp,
-                            samples_per_call=min(args.spp, 64), scan=args.scan)
+                            samples_per_call=min(args.spp, 64), scan=args.scan,
+                            interleave=args.interleave,
+                            scan_chunks=args.scan_chunks)
     elif args.integrator == "wavefront":
         from oclpathtracer_tpu.kernels.wavefront import render_wavefront
 
         img = render_wavefront(scene, cfg, args.spp,
                                samples_per_call=min(args.spp, 64),
-                               scan=args.scan)
+                               scan=args.scan, interleave=args.interleave,
+                               scan_chunks=args.scan_chunks)
     elif args.integrator == "bvh":
         from oclpathtracer_tpu.kernels.bvh_megakernel import render_bvh
 
@@ -154,10 +157,18 @@ def main(argv=None) -> int:
     r.add_argument("--output", "-o", default="render.png")
     r.add_argument("--checkpoint", default=None)
     r.add_argument("--checkpoint-every", type=int, default=0)
-    r.add_argument("--scan", default="auto", choices=["auto", "parity", "fast"],
-                   help="triangle-scan arithmetic for pallas/wavefront: "
-                        "reference-exact 'parity' or division-free 'fast' "
-                        "(auto = fast when the scene's materials allow)")
+    r.add_argument("--scan", default="auto",
+                   choices=["auto", "parity", "fast", "tp"],
+                   help="triangle-scan arithmetic for pallas/wavefront/bvh: "
+                        "reference-exact 'parity', division-free 'fast', or "
+                        "triple-product 'tp' (auto = the fastest the scene's "
+                        "materials support: tp, else fast, else parity)")
+    r.add_argument("--interleave", type=int, default=0,
+                   help="sample/stream interleave width for pallas/wavefront "
+                        "(0 = auto; megakernel output is interleave-invariant)")
+    r.add_argument("--scan-chunks", type=int, default=0,
+                   help="independent best-hit scan chains for pallas/wavefront "
+                        "(0 = auto; see megakernel.resolve_scan_chunks)")
     r.add_argument("--reference-quirk", action="store_true",
                    help="reproduce the reference's double-gamma PPM export")
     r.add_argument("--profile", default=None, metavar="DIR",

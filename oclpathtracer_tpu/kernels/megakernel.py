@@ -294,7 +294,9 @@ TP_ORIGIN_FACTOR = 64.0
 
 # tp table layout (T, 24) f32 — columns:
 #  0:3 N | 3:6 e1 | 6:9 e2 | 9:12 C1 | 12:15 C2 | 15 k |
-#  16 code = material class index + 1 (0 = "no hit") | 17:23 pad
+#  16 code = material class index + 1 (0 = "no hit") |
+#  17:24 pad, UNLESS the tp0 peel is on: augment_table_tp0 fills them with
+#  17:20 U | 20:23 V | 23 t0 (the collapsed bounce-0 scan constants)
 
 
 def material_classes(scene: Scene):
@@ -1054,15 +1056,18 @@ def render_samples_pallas_stats(table: jnp.ndarray, cfg: RenderConfig,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "scan",
-                                              "emi_const", "classes"))
+                                              "emi_const", "classes",
+                                              "interleave", "scan_chunks"))
 def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
                           start_sample, n_samples: int, scan: str = "parity",
                           emi_const: tuple = (0.0, 0.0, 0.0),
-                          classes: tuple = ()) -> jnp.ndarray:
+                          classes: tuple = (), interleave: int = 0,
+                          scan_chunks: int = 0) -> jnp.ndarray:
     """SUM of `n_samples` progressive 1-spp frames: (n_pixels, 3) f32."""
     img, _ = render_samples_pallas_stats(table, cfg, start_sample, n_samples,
                                          scan=scan, emi_const=emi_const,
-                                         classes=classes)
+                                         classes=classes, interleave=interleave,
+                                         scan_chunks=scan_chunks)
     return img
 
 
@@ -1113,7 +1118,8 @@ def prepare_scan(scene: Scene, requested: str = "auto"):
 
 
 def render_pallas(scene: Scene, cfg: RenderConfig, total_spp: int,
-                  samples_per_call: int = 0, scan: str = "auto") -> jnp.ndarray:
+                  samples_per_call: int = 0, scan: str = "auto",
+                  interleave: int = 0, scan_chunks: int = 0) -> jnp.ndarray:
     """Progressive mean image via the megakernel (host loop over sample chunks)."""
     scan, table, emi, classes = prepare_scan(scene, scan)
     chunk = samples_per_call or total_spp
@@ -1122,6 +1128,8 @@ def render_pallas(scene: Scene, cfg: RenderConfig, total_spp: int,
     while s < total_spp:
         n = min(chunk, total_spp - s)
         acc = acc + render_samples_pallas(table, cfg, s, n, scan=scan,
-                                          emi_const=emi, classes=classes)
+                                          emi_const=emi, classes=classes,
+                                          interleave=interleave,
+                                          scan_chunks=scan_chunks)
         s += n
     return acc / total_spp

@@ -105,6 +105,9 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
         # (any k is allclose; tests pinning bitwise behavior pass k
         # explicitly). See megakernel._make_kernel for the same rule.
         interleave = min(interleave, 4)
+    # Deliberately no `interleave` arg here (unlike megakernel): wavefront
+    # auto chunking stays chunks=1 — chunked chains measured flat-to-negative
+    # under in-lane regeneration (round-3 paired A/Bs, docs/PERFORMANCE.md).
     scan_chunks = resolve_scan_chunks(n_tris, scan_chunks)
     if n_tris > TRI_UNROLL_CAP or scan_chunks > n_tris:
         scan_chunks = 1
@@ -116,11 +119,14 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     eboost = np.float32(cfg.emissive_boost)
     roffset = np.float32(cfg.ray_offset)
 
-    def kernel(table_ref, start_ref, out_ref, seg_ref):
+    def kernel(table_ref, start_ref, base_ref, out_ref, seg_ref):
         b = pl.program_id(0)
         sub_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 0)
         lane_ids = jax.lax.broadcasted_iota(jnp.int32, (SUB, LANE), 1)
-        pid = b * BLOCK + sub_ids * LANE + lane_ids
+        # base_ref: ABSOLUTE pixel id of this invocation's first block — nonzero
+        # under shard_map tiling. RNG/camera key on the absolute id, so sharded
+        # output is bitwise layout-invariant (same contract as megakernel).
+        pid = base_ref[0] + b * BLOCK + sub_ids * LANE + lane_ids
         px = (pid % W).astype(jnp.float32)
         py = (pid // W).astype(jnp.float32)
 
@@ -456,12 +462,13 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "interleave",
                                               "scan", "emi_const", "classes",
-                                              "scan_chunks"))
+                                              "scan_chunks", "n_rays"))
 def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
                                    start_sample, n_samples: int,
                                    interleave: int = 0, scan: str = "parity",
                                    emi_const: tuple = (0.0, 0.0, 0.0),
-                                   classes: tuple = (), scan_chunks: int = 0):
+                                   classes: tuple = (), scan_chunks: int = 0,
+                                   pid_base=0, n_rays: int | None = None):
     """SUM of n_samples frames via path regeneration + traced-segment count.
 
     interleave: independent per-lane path streams (0 = auto; see
@@ -470,8 +477,11 @@ def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
     scan: "parity" | "fast" | "tp" — see kernels/megakernel._make_kernel.
     scan_chunks: independent scan chains merged post-hoc (0 = auto; see
     megakernel.resolve_scan_chunks).
+    pid_base/n_rays: shard_map tiling — a device rendering pixels
+    [pid_base, pid_base + n_rays) passes its offset so RNG/camera stay keyed
+    on absolute ids (bitwise layout invariance; same as megakernel).
     """
-    n_pix = cfg.n_pixels
+    n_pix = n_rays if n_rays is not None else cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, interleave,
                           scan=scan, emi_const=emi_const, classes=classes,
@@ -480,6 +490,7 @@ def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
         kernel,
         grid=(nb,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -494,15 +505,16 @@ def render_samples_wavefront_stats(table: jnp.ndarray, cfg: RenderConfig,
             jax.ShapeDtypeStruct((nb, 1, SUB, LANE), jnp.float32),
         ),
         interpret=_interpret(),
-    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1))
+    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1),
+      jnp.asarray(pid_base, jnp.int32).reshape(1))
     img = out.transpose(0, 2, 3, 1).reshape(nb * BLOCK, 3)
     seg_flat = segs.reshape(nb * BLOCK)
     return img[:n_pix], jnp.sum(seg_flat[:n_pix])
 
 
 def render_wavefront(scene: Scene, cfg: RenderConfig, total_spp: int,
-                     samples_per_call: int = 0,
-                     scan: str = "auto") -> jnp.ndarray:
+                     samples_per_call: int = 0, scan: str = "auto",
+                     interleave: int = 0, scan_chunks: int = 0) -> jnp.ndarray:
     """Progressive mean image via the path-regeneration kernel."""
     from oclpathtracer_tpu.kernels.megakernel import prepare_scan
 
@@ -513,7 +525,9 @@ def render_wavefront(scene: Scene, cfg: RenderConfig, total_spp: int,
     while s < total_spp:
         n = min(chunk, total_spp - s)
         img, _ = render_samples_wavefront_stats(table, cfg, s, n, scan=scan,
-                                                emi_const=emi, classes=classes)
+                                                emi_const=emi, classes=classes,
+                                                interleave=interleave,
+                                                scan_chunks=scan_chunks)
         acc = acc + img
         s += n
     return acc / total_spp

@@ -26,14 +26,23 @@ from oclpathtracer_tpu.scene.types import Scene
 def make_sharded_kernel_step(cfg: RenderConfig, mesh: Mesh, n_samples: int,
                              scan: str = "parity",
                              emi_const: tuple = (0.0, 0.0, 0.0),
-                             classes: tuple = ()):
+                             classes: tuple = (), kernel: str = "megakernel",
+                             interleave: int = 0):
     """Jitted (table, start_sample) → (img (n_pixels,3) sharded, segments ()).
 
     Requires n_pixels divisible by n_devices × BLOCK-alignment per shard (the
     canonical 512² image divides any power-of-two mesh). scan/emi_const/classes
     as in megakernel.render_samples_pallas_stats (the scan choice is
     layout-invariant: RNG keys on absolute pixel ids either way).
+
+    kernel: "megakernel" (fixed bounce loop) or "wavefront" (in-lane path
+    regeneration, kernels/wavefront.py — the winner at 16 bounces). Both key
+    RNG on absolute pixel ids, so both are bitwise layout-invariant;
+    `interleave` is forwarded (megakernel output is interleave-invariant,
+    wavefront k>1 reorders per-lane accumulation exactly as on one device).
     """
+    if kernel not in ("megakernel", "wavefront"):
+        raise ValueError(f"kernel must be 'megakernel' or 'wavefront', got {kernel!r}")
     n_dev = mesh.shape[TILE_AXIS]
     n_pix = cfg.n_pixels
     if n_pix % n_dev != 0:
@@ -42,9 +51,20 @@ def make_sharded_kernel_step(cfg: RenderConfig, mesh: Mesh, n_samples: int,
 
     def local_render(table, start_sample):
         base = jax.lax.axis_index(TILE_AXIS) * local_n
-        img, segs = render_samples_pallas_stats(
-            table, cfg, start_sample, n_samples, pid_base=base, n_rays=local_n,
-            scan=scan, emi_const=emi_const, classes=classes)
+        if kernel == "wavefront":
+            from oclpathtracer_tpu.kernels.wavefront import (
+                render_samples_wavefront_stats,
+            )
+
+            img, segs = render_samples_wavefront_stats(
+                table, cfg, start_sample, n_samples, pid_base=base,
+                n_rays=local_n, scan=scan, emi_const=emi_const,
+                classes=classes, interleave=interleave)
+        else:
+            img, segs = render_samples_pallas_stats(
+                table, cfg, start_sample, n_samples, pid_base=base,
+                n_rays=local_n, scan=scan, emi_const=emi_const,
+                classes=classes, interleave=interleave)
         return img, jax.lax.psum(segs, TILE_AXIS)
 
     sharded = shard_map(

@@ -2,10 +2,13 @@
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from oclpathtracer_tpu.core.bvh import build_bvh, intersect_bvh, reorder_geometry
 from oclpathtracer_tpu.core.intersect import intersect_world
 from oclpathtracer_tpu.scene.procgen import random_triangles, sphere_field
+
+pytestmark = pytest.mark.slow  # BVH traversal kernels in interpret mode
 
 
 def _structural_check(bvh, n_tris):

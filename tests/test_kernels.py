@@ -19,6 +19,8 @@ from oclpathtracer_tpu.kernels.megakernel import (
 )
 from oclpathtracer_tpu.integrators.parity import render_sample_ref
 
+pytestmark = pytest.mark.slow  # Pallas interpret-mode kernels dominate suite wall-time
+
 CFG = RenderConfig(width=64, height=32, bounces=6)  # 2048 px = 2 blocks
 
 

@@ -4,6 +4,8 @@ The north-star invariant: sharded rendering is BITWISE identical to single-devic
 rendering, for any device count, because sample streams key on absolute pixel ids.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -14,6 +16,8 @@ from oclpathtracer_tpu.core import rng
 from oclpathtracer_tpu.parallel.mesh import default_mesh
 from oclpathtracer_tpu.parallel.sharded import render_progressive_sharded, shard_pixels
 from oclpathtracer_tpu.render.driver import render_progressive
+
+pytestmark = pytest.mark.slow  # shard_map + Pallas interpret + subprocess pods
 
 CFG = RenderConfig(width=32, height=32, bounces=4)
 
@@ -63,22 +67,96 @@ def test_graft_entry_multichip():
     ge.dryrun_multichip(8)
 
 
-def test_sharded_megakernel_bitwise_matches_single(scene, cpu_devices):
+@pytest.mark.parametrize("scan_req", ["parity", "fast", "tp"])
+def test_sharded_megakernel_bitwise_matches_single(scene, cpu_devices, scan_req):
     """The Pallas kernel under shard_map (absolute pid_base per device) must be
-    bitwise identical to the single-device kernel."""
-    from oclpathtracer_tpu.kernels.megakernel import pack_scene, render_samples_pallas
+    bitwise identical to the single-device kernel — for every scan, including
+    the production tp scan that `auto` resolves to on the canonical scene."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        prepare_scan,
+        render_samples_pallas,
+    )
     from oclpathtracer_tpu.parallel.sharded_pallas import render_pallas_sharded
-
-    from oclpathtracer_tpu.kernels.megakernel import scene_emissive_const
 
     cfg = RenderConfig(width=64, height=32, bounces=4)  # 2048 px / 8 dev = 256
     mesh = default_mesh(cpu_devices)
-    table = pack_scene(scene)
-    emi = scene_emissive_const(scene)
-    for scan, kw in (("parity", {}), ("fast", {"emi_const": emi})):
-        img_sh = render_pallas_sharded(scene, cfg, mesh, total_spp=2, scan=scan)
-        img_1 = render_samples_pallas(table, cfg, 0, 2, scan=scan, **kw) / 2
-        np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
+    scan, table, emi, classes = prepare_scan(scene, scan_req)
+    img_sh = render_pallas_sharded(scene, cfg, mesh, total_spp=2, scan=scan_req)
+    img_1 = render_samples_pallas(table, cfg, 0, 2, scan=scan, emi_const=emi,
+                                  classes=classes) / 2
+    np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
+
+
+def test_sharded_wavefront_bitwise_matches_single(scene, cpu_devices):
+    """The path-regeneration kernel under shard_map must be bitwise identical
+    to its single-device run at interleave=1 (the 16-bounce production kernel's
+    sharding contract — VERDICT r3 item 5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from oclpathtracer_tpu.kernels.megakernel import prepare_scan
+    from oclpathtracer_tpu.kernels.wavefront import render_samples_wavefront_stats
+    from oclpathtracer_tpu.parallel.sharded_pallas import make_sharded_kernel_step
+
+    cfg = RenderConfig(width=64, height=32, bounces=4)
+    mesh = default_mesh(cpu_devices)
+    scan, table, emi, classes = prepare_scan(scene, "auto")
+    step = make_sharded_kernel_step(cfg, mesh, 2, scan=scan, emi_const=emi,
+                                    classes=classes, kernel="wavefront",
+                                    interleave=1)
+    img_sh, segs_sh = step(jax.device_put(table, NamedSharding(mesh, P())),
+                           jnp.int32(0))
+    img_1, segs_1 = render_samples_wavefront_stats(
+        table, cfg, 0, 2, scan=scan, emi_const=emi, classes=classes,
+        interleave=1)
+    np.testing.assert_array_equal(np.asarray(img_sh), np.asarray(img_1))
+    assert float(segs_sh) == float(segs_1)
+
+
+def test_multihost_two_process(scene, tmp_path):
+    """REAL jax.distributed bring-up: 2 processes × 2 CPU devices (SURVEY §4d).
+
+    Each worker initializes the distributed runtime against a local
+    coordinator, renders its host_local_pixel_slice strip, and psums over the
+    global 4-device mesh. The assembled strips must be bitwise identical to
+    the single-process render, and both workers must agree on the psum."""
+    import socket
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    with socket.socket() as s:  # pick a free coordinator port
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    repo = str(Path(__file__).resolve().parents[1])
+    worker = str(Path(__file__).with_name("_multihost_worker.py"))
+    # Sanitized env: no inherited XLA flags, no TPU plugin paths/vars (a TPU
+    # plugin would pin the platform and fight over the single real chip), no
+    # ambient JAX settings — the workers are a pure 2-process CPU pod.
+    env = {k: v for k, v in os.environ.items()
+           if not (k.startswith(("XLA_", "JAX_", "TPU_", "PALLAS_"))
+                   or k == "PYTHONPATH")}
+    env["PYTHONPATH"] = repo
+    procs = [
+        subprocess.Popen([_sys.executable, worker, str(r), "2", str(port),
+                          str(tmp_path)], env=env, cwd=repo,
+                         stdout=subprocess.PIPE, stderr=subprocess.STDOUT)
+        for r in range(2)
+    ]
+    outs = [p.communicate(timeout=300)[0].decode() for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{out}"
+
+    img = np.concatenate([np.load(tmp_path / f"strip_{r}.npy") for r in range(2)])
+    cfg = RenderConfig(width=32, height=16, bounces=2)
+    from oclpathtracer_tpu.diff.inverse import render_spp
+
+    ref = np.asarray(render_spp(scene, cfg, 2, rng.make_key(5)))
+    np.testing.assert_array_equal(img, ref)
+
+    psums = [float(np.load(tmp_path / f"psum_{r}.npy")) for r in range(2)]
+    assert psums[0] == psums[1]
+    np.testing.assert_allclose(psums[0], img.sum(), rtol=1e-5)
 
 
 def test_multihost_helpers_single_process(cpu_devices):
