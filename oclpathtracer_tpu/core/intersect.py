@@ -20,12 +20,16 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from oclpathtracer_tpu.scene.types import Geometry
 
 DET_EPS = 1e-8  # GenerateColors.cl:100
 T_MAX = 1e20    # initial hit distance, GenerateColors.cl:139
-_BIG = jnp.float32(3e38)
+# np (not jnp): a module-scope jnp scalar would initialize the XLA backend at
+# import time, which breaks jax.distributed.initialize in multi-process use
+# (it must run before any backend-touching call — parallel/multihost.py).
+_BIG = np.float32(3e38)
 
 
 class HitRecord(NamedTuple):

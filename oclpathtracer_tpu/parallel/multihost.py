@@ -52,17 +52,22 @@ def global_mesh() -> Mesh:
 def host_local_pixel_slice(n_pixels: int) -> slice:
     """The contiguous pixel range this process feeds.
 
-    Pixels shard evenly over the global device order; a host owns the union of
-    its addressable devices' shards, which is contiguous under the 1-D layout.
+    Pixels shard evenly over the global device ORDER (the same jax.devices()
+    order global_mesh uses); a host owns the union of its addressable
+    devices' shards, which is contiguous under the 1-D layout. Positions in
+    the device tuple — NOT d.id values — define the order: multi-process JAX
+    strides raw device ids per process (e.g. rank 1's CPU devices are ids
+    2048, 2049), so ids are neither dense nor usable as shard indices.
     """
     devs = jax.devices()
     n_dev = len(devs)
     if n_pixels % n_dev != 0:
         raise ValueError(f"{n_pixels} pixels not divisible by {n_dev} devices")
     per_dev = n_pixels // n_dev
-    local_ids = sorted(d.id for d in jax.local_devices())
-    lo, hi = local_ids[0], local_ids[-1]
-    if local_ids != list(range(lo, hi + 1)):
+    me = jax.process_index()
+    pos = [i for i, d in enumerate(devs) if d.process_index == me]
+    lo, hi = pos[0], pos[-1]
+    if pos != list(range(lo, hi + 1)):
         raise ValueError("host's devices are not contiguous in the global order")
     return slice(lo * per_dev, (hi + 1) * per_dev)
 
