@@ -94,19 +94,109 @@ def test_emissive_grads_match_finite_differences(scene):
     )
 
 
-def test_vertex_grads_finite_and_nonzero(scene):
-    """Plain-AD vertex gradients: finite everywhere; in-plane translation of one
-    vertex matches finite differences loosely (interior term only — visibility
-    edge terms are the documented gap, diff/__init__.py)."""
+def _occluder_scene():
+    """Synthetic scene whose loss FD is PURE primary boundary term: a black
+    (albedo 0) occluder triangle in front of an emissive backdrop. No indirect
+    light exists off the occluder, the backdrop's emission is unconditional,
+    and its bounce rays can only reach the occluder's backface (culled) — so
+    central FD of the loss w.r.t. occluder vertices isolates exactly the
+    visibility term diff/edge.py estimates. (The Cornell box's own silhouette
+    FDs mix in secondary/shadow terms — the documented bias, see
+    test_vertex_grads_cornell_boundary_structure.)"""
+    from oclpathtracer_tpu.scene.types import Geometry, Lights, Materials, Scene
+
+    # Backdrop quad at z=-5 and occluder at z=-2, both wound so the pack
+    # normal N = cross(e2, e1) faces the camera (N·d ≥ 1e-8 for d ≈ -z).
+    A, B, C, D = [-4, -1, -5], [4, -1, -5], [4, 6.5, -5], [-4, 6.5, -5]
+    O1, O2, O3 = [-1.0, 1.6, -2.0], [1.2, 2.0, -2.0], [0.1, 4.0, -2.0]
+    geom = Geometry(p1=jnp.asarray([A, C, O1], jnp.float32),
+                    p2=jnp.asarray([B, D, O2], jnp.float32),
+                    p3=jnp.asarray([C, A, O3], jnp.float32),
+                    mat_id=jnp.asarray([0, 0, 1], jnp.int32))
+    mats = Materials(albedo=jnp.asarray([[1, 1, 1], [0, 0, 0]], jnp.float32),
+                     emissive=jnp.asarray([[5, 5, 5], [0, 0, 0]], jnp.float32),
+                     roughness=jnp.asarray([0, 0], jnp.float32),
+                     mtype=jnp.asarray([1, 1], jnp.int32))
+    lights = Lights(tri_idx=jnp.asarray([0], jnp.int32),
+                    area=jnp.asarray([30.0], jnp.float32),
+                    normal=jnp.asarray([[0, 0, 1]], jnp.float32))
+    return Scene(geometry=geom, materials=mats, lights=lights)
+
+
+@pytest.mark.slow  # 2 full edge-sampled gradients + 6 FD renders
+def test_vertex_grads_match_fd_on_silhouette():
+    """Edge-aware vertex gradients match central FD on silhouette-moving
+    coordinates (BASELINE.json config 5 / VERDICT r3 item 1). Plain AD gives
+    exactly ZERO here (the occluder is black — no interior term at all), so
+    every matched digit comes from the boundary estimator."""
+    from oclpathtracer_tpu.diff import make_edge_aware_loss_fn
+
+    scene = _occluder_scene()
+    cfg = RenderConfig(width=32, height=32, bounces=2)
+    spp = 64
     key = rng.make_key(3)
-    target = _target(scene)
-    loss = make_loss_fn(scene, CFG, SPP)
+    target = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
+    loss_edge = make_edge_aware_loss_fn(scene, cfg, spp, samples_per_edge=256,
+                                        edge_spp=8, delta=0.03)
+    loss_plain = make_loss_fn(scene, cfg, spp)
     params = extract_params(scene, albedo=False, vertices=True)
-    grads = jax.grad(loss)(params, target, key)
-    for g in grads.vertices:
+    grads = jax.grad(loss_edge)(params, target, key)
+    grads_interior = jax.grad(loss_plain)(params, target, key)
+
+    # Interior term is identically zero for the black occluder.
+    for g in grads_interior.vertices:
+        assert float(np.abs(np.asarray(g)[2]).max()) == 0.0
+
+    def fd(leaf, comp, eps):
+        def setp(v):
+            vs = list(params.vertices)
+            vs[leaf] = vs[leaf].at[2, comp].add(v)
+            return params._replace(vertices=tuple(vs))
+
+        return (float(loss_plain(setp(eps), target, key))
+                - float(loss_plain(setp(-eps), target, key))) / (2 * eps)
+
+    # The three largest silhouette movers (x/y translations of the occluder's
+    # corners — each moves a different projected edge pair).
+    mags = [(leaf, comp, abs(float(np.asarray(grads.vertices[leaf])[2, comp])))
+            for leaf in range(3) for comp in range(2)]
+    mags.sort(key=lambda t: -t[2])
+    checked = 0
+    # eps = 0.08 world ≈ 0.36 px at the occluder's depth: enough CRN sample
+    # flips (~200) that FD's discreteness noise sits under the tolerance,
+    # while the expected loss stays near-linear (straight-edge sweep).
+    for leaf, comp, mag in mags[:3]:
+        g_ad = float(np.asarray(grads.vertices[leaf])[2, comp])
+        g_fd = fd(leaf, comp, 0.08)
+        assert np.isclose(g_ad, g_fd, rtol=0.1), (
+            f"vertex p{leaf+1}[occ,{comp}]: AD {g_ad} vs FD {g_fd}")
+        checked += 1
+    assert checked == 3
+
+
+@pytest.mark.slow  # 108-edge boundary quadrature on the full Cornell scene
+def test_vertex_grads_cornell_boundary_structure(scene):
+    """Cornell-scene structure checks of the boundary term (full FD parity is
+    pinned on the synthetic scene above; here FD mixes in secondary/shadow
+    terms — the documented bias, diff/edge.py): finite everywhere, nonzero on
+    the light's rim (the dominant visible discontinuity), and exactly zero for
+    the tall box's BACKFACING top face (front-face cull — moving an invisible
+    face must not leak its neighbors' silhouette jump)."""
+    from oclpathtracer_tpu.diff import boundary_vertex_grads
+
+    cfg = RenderConfig(width=32, height=32, bounces=2)
+    key = rng.make_key(3)
+    weight = jnp.full((cfg.n_pixels, 3), 1.0 / cfg.n_pixels, jnp.float32)
+    dp1, dp2, dp3 = boundary_vertex_grads(scene, cfg, weight, key,
+                                          samples_per_edge=64, spp=4)
+    for g in (dp1, dp2, dp3):
         assert np.isfinite(np.asarray(g)).all()
-    total = sum(float(jnp.sum(jnp.abs(g))) for g in grads.vertices)
-    assert total > 0.0
+    # Light rim (tris 10-11) x-translation: dominant discontinuity, nonzero.
+    assert abs(float(dp1[10, 0])) + abs(float(dp2[10, 0])) > 1e-3
+    # Tall-box top face (tris 26-27) is backfacing from the camera: culled.
+    for g in (dp1, dp2, dp3):
+        np.testing.assert_array_equal(np.asarray(g)[26], 0.0)
+        np.testing.assert_array_equal(np.asarray(g)[27], 0.0)
 
 
 def test_train_step_reduces_loss(scene):
