@@ -16,7 +16,7 @@ backward differentiates through apply_params → parity integrator instead).
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -99,3 +99,135 @@ def make_fast_loss_fn(scene: Scene, cfg: RenderConfig, spp: int):
         return jnp.mean((a - target) * (b - target))
 
     return loss
+
+
+class ClassParams(NamedTuple):
+    """Trainable deduplicated material-CLASS attributes (kernel train path).
+
+    The adjoint megakernel (kernels/grad_megakernel.py) differentiates w.r.t.
+    the ≤16 material classes its scan tracks; scenes whose records share a
+    class train them jointly (the Cornell scene: 5 classes for 18 records).
+    """
+
+    albedo: jnp.ndarray    # (C, 3)
+    emissive: jnp.ndarray  # (C, 3)
+
+
+def extract_class_params(scene: Scene) -> "ClassParams":
+    from oclpathtracer_tpu.kernels.grad_megakernel import prepare_grad_scene
+
+    _, ct, _, _ = prepare_grad_scene(scene)
+    return ClassParams(albedo=ct[:, 0:3], emissive=ct[:, 3:6])
+
+
+def class_params_to_materials(scene: Scene, params: "ClassParams") -> SceneParams:
+    """Broadcast class attrs back to per-material SceneParams (chain-rule map)."""
+    from oclpathtracer_tpu.kernels.grad_megakernel import prepare_grad_scene
+
+    _, _, _, mat_class = prepare_grad_scene(scene)
+    return SceneParams(albedo=params.albedo[mat_class],
+                       emissive=params.emissive[mat_class])
+
+
+def make_kernel_train_step(scene: Scene, cfg: RenderConfig, spp: int,
+                           lr: float):
+    """FULLY kernel-speed SGD step — Pallas forward AND hand-derived backward.
+
+    (params: ClassParams, target, step_idx) → (params, loss). Loss is the
+    unbiased pairwise form (make_unbiased_loss_fn rationale) on two disjoint
+    reference-frame ranges; gradients come from the adjoint megakernel's exact
+    path-space derivative (kernels/grad_megakernel.py) — no jnp twin anywhere,
+    so the whole step runs at kernel throughput (BASELINE.md "train step").
+    Requires tp_scan_supported(scene); parameter updates never recompile
+    (class attrs are a dynamic SMEM input).
+    """
+    from oclpathtracer_tpu.kernels.grad_megakernel import (
+        prepare_grad_scene,
+        render_grads_pallas,
+    )
+
+    table, ct0, C, _ = prepare_grad_scene(scene)
+    n3 = cfg.n_pixels * 3
+
+    @jax.jit
+    def step(params: ClassParams, target, step_idx):
+        ct = jnp.concatenate([params.albedo, params.emissive, ct0[:, 6:8]], 1)
+        fa = (2 * step_idx) * spp
+        fb = (2 * step_idx + 1) * spp
+        a, _ = render_grads_pallas(table, ct, cfg, fa, spp, C,
+                                   with_grads=False)
+        b, _ = render_grads_pallas(table, ct, cfg, fb, spp, C,
+                                   with_grads=False)
+        a = a / spp
+        b = b / spp
+        loss = jnp.mean((a - target) * (b - target))
+        # d loss / d(frame-SUM image) for each render of the pairwise product.
+        w_a = (b - target) / (n3 * spp)
+        w_b = (a - target) / (n3 * spp)
+        _, ga = render_grads_pallas(table, ct, cfg, fa, spp, C, weight=w_a)
+        _, gb = render_grads_pallas(table, ct, cfg, fb, spp, C, weight=w_b)
+        g = ga + gb
+        albedo = jnp.clip(params.albedo - lr * g[:, 0:3], 0.0, 1.0)
+        emissive = jnp.maximum(params.emissive - lr * g[:, 3:6], 0.0)
+        return ClassParams(albedo=albedo, emissive=emissive), loss
+
+    return step
+
+
+def make_sharded_kernel_train_step(scene: Scene, cfg: RenderConfig, mesh,
+                                   spp: int, lr: float):
+    """make_kernel_train_step over a 'tiles' mesh: pixels shard, class grads psum.
+
+    (params, target_sharded, step_idx) → (params, loss). Same collective
+    pattern as inverse.make_sharded_train_step (psum is the only
+    communication), with the adjoint kernel running per-shard on absolute
+    pixel ids (pid_base), so gradients are layout-invariant.
+    """
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from oclpathtracer_tpu.kernels.grad_megakernel import (
+        prepare_grad_scene,
+        render_grads_pallas,
+    )
+    from oclpathtracer_tpu.parallel.mesh import TILE_AXIS
+
+    table, ct0, C, _ = prepare_grad_scene(scene)
+    n_dev = mesh.shape[TILE_AXIS]
+    if cfg.n_pixels % n_dev != 0:
+        raise ValueError(f"{cfg.n_pixels} pixels not divisible by {n_dev}")
+    local_n = cfg.n_pixels // n_dev
+    n3 = cfg.n_pixels * 3
+
+    def local_step(params: ClassParams, target, step_idx):
+        base = jax.lax.axis_index(TILE_AXIS) * local_n
+        ct = jnp.concatenate([params.albedo, params.emissive, ct0[:, 6:8]], 1)
+        fa = (2 * step_idx) * spp
+        fb = (2 * step_idx + 1) * spp
+        a, _ = render_grads_pallas(table, ct, cfg, fa, spp, C,
+                                   with_grads=False, pid_base=base,
+                                   n_rays=local_n)
+        b, _ = render_grads_pallas(table, ct, cfg, fb, spp, C,
+                                   with_grads=False, pid_base=base,
+                                   n_rays=local_n)
+        a = a / spp
+        b = b / spp
+        loss = jax.lax.psum(jnp.sum((a - target) * (b - target)), TILE_AXIS) / n3 * 3
+        w_a = (b - target) / (n3 * spp)
+        w_b = (a - target) / (n3 * spp)
+        _, ga = render_grads_pallas(table, ct, cfg, fa, spp, C, weight=w_a,
+                                    pid_base=base, n_rays=local_n)
+        _, gb = render_grads_pallas(table, ct, cfg, fb, spp, C, weight=w_b,
+                                    pid_base=base, n_rays=local_n)
+        g = jax.lax.psum(ga + gb, TILE_AXIS)
+        albedo = jnp.clip(params.albedo - lr * g[:, 0:3], 0.0, 1.0)
+        emissive = jnp.maximum(params.emissive - lr * g[:, 3:6], 0.0)
+        return ClassParams(albedo=albedo, emissive=emissive), loss
+
+    sharded = shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(TILE_AXIS), P()),
+        out_specs=(P(), P()),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
