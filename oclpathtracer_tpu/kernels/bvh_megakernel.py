@@ -53,9 +53,32 @@ from oclpathtracer_tpu.kernels.megakernel import (
     _scale3,
     _where3,
     decode_fast_tc,
+    decode_tp_tc,
     pack_scene,
 )
 from oclpathtracer_tpu.scene.types import Scene
+
+
+def _pack_nodes(bvh: FlatBVH):
+    n = bvh.num_nodes
+    nodes_f = np.zeros((n, 8), np.float32)
+    nodes_f[:, 0:3] = np.asarray(bvh.nodes_min)
+    nodes_f[:, 3:6] = np.asarray(bvh.nodes_max)
+    nodes_i = np.zeros((n, 4), np.int32)
+    nodes_i[:, 0] = np.asarray(bvh.skip)
+    nodes_i[:, 1] = np.asarray(bvh.tri_start)
+    nodes_i[:, 2] = np.asarray(bvh.tri_count)
+    return jnp.asarray(nodes_f), jnp.asarray(nodes_i)
+
+
+def _pad_leaf_window(table: jnp.ndarray, leaf_size: int) -> jnp.ndarray:
+    # Pad with max_leaf all-zero rows: the kernel's leaf loop always reads a
+    # full leaf_size window [start, start+leaf_size) and masks lanes by
+    # k < count — zero triangles have det == 0 (backface-culled; tp: d·N == 0)
+    # so the pad rows can never be selected, and the window stays in-bounds
+    # for the last leaf.
+    return jnp.concatenate(
+        [table, jnp.zeros((leaf_size, table.shape[1]), table.dtype)])
 
 
 def pack_bvh_scene(scene: Scene, leaf_size: int = 8, branching: int = 8):
@@ -68,32 +91,36 @@ def pack_bvh_scene(scene: Scene, leaf_size: int = 8, branching: int = 8):
     bvh = build_bvh(scene.geometry, leaf_size=leaf_size, branching=branching)
     rgeom = reorder_geometry(scene.geometry, bvh)
     rscene = scene._replace(geometry=rgeom)
-    table = pack_scene(rscene)
-    # Pad with max_leaf all-zero rows: the kernel's leaf loop always reads a full
-    # leaf_size window [start, start+leaf_size) and masks lanes by k < count —
-    # zero triangles have det == 0 (backface-culled) so the pad rows can never
-    # be selected, and the window stays in-bounds for the last leaf.
-    table = jnp.concatenate(
-        [table, jnp.zeros((leaf_size, table.shape[1]), table.dtype)])
+    table = _pad_leaf_window(pack_scene(rscene), leaf_size)
+    nodes_f, nodes_i = _pack_nodes(bvh)
+    return table, nodes_f, nodes_i
 
-    n = bvh.num_nodes
-    nodes_f = np.zeros((n, 8), np.float32)
-    nodes_f[:, 0:3] = np.asarray(bvh.nodes_min)
-    nodes_f[:, 3:6] = np.asarray(bvh.nodes_max)
-    nodes_i = np.zeros((n, 4), np.int32)
-    nodes_i[:, 0] = np.asarray(bvh.skip)
-    nodes_i[:, 1] = np.asarray(bvh.tri_start)
-    nodes_i[:, 2] = np.asarray(bvh.tri_count)
-    return table, jnp.asarray(nodes_f), jnp.asarray(nodes_i)
+
+def pack_bvh_scene_tp(scene: Scene, leaf_size: int = 8, branching: int = 8):
+    """pack_bvh_scene for the tp leaf test: tri table in pack_scene_tp layout
+    (triple-product constants + class code). Returns (table, nodes_f, nodes_i,
+    classes) — classes is the static tuple decode_tp_tc needs."""
+    from oclpathtracer_tpu.kernels.megakernel import pack_scene_tp
+
+    bvh = build_bvh(scene.geometry, leaf_size=leaf_size, branching=branching)
+    rgeom = reorder_geometry(scene.geometry, bvh)
+    rscene = scene._replace(geometry=rgeom)
+    table, classes = pack_scene_tp(rscene)
+    table = _pad_leaf_window(table, leaf_size)
+    nodes_f, nodes_i = _pack_nodes(bvh)
+    return table, nodes_f, nodes_i, classes
 
 
 def scan_columns(scan: str) -> tuple:
     """Logical pack_scene columns a leaf test reads: the slim flattened-table
     layout keeps exactly these, in this order. fast: p1/e1/e2/normal/albedo +
-    fused code (16 cols); parity: + emissive/rough/mtype in place of the code
-    (20 cols)."""
+    fused code (16 cols); tp: N/e1/e2/C1/C2/k + class code (17 cols, the
+    pack_scene_tp layout); parity: + emissive/rough/mtype in place of the
+    code (20 cols)."""
     if scan == "fast":
         return tuple(range(15)) + (23,)
+    if scan == "tp":
+        return tuple(range(17))
     return tuple(range(20))
 
 
@@ -135,6 +162,8 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
     """
     zeros = vzero
     fast = scan == "fast"
+    tp = scan == "tp"
+    frac = fast or tp  # best-t tracked as a (num, den) fraction
 
     if flat_table:
         # Flattened tables are SLIMMED to the columns the scan reads
@@ -175,8 +204,16 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
         list of best-hit tuples."""
         inv_ds = [tuple(1.0 / jnp.where(jnp.abs(c) > 1e-20, c, 1e-20)
                         for c in d) for (_, d, _) in rays]
+        # tp leaf test: one cross(o, d) per stream per traversal feeds every
+        # leaf triangle's unum/vnum triple products (megakernel tri_body_tp).
+        ms = [_cross3(o, d) for (o, d, _) in rays] if tp else [None] * len(rays)
 
         def fresh_tc():
+            if tp:
+                return (vzero + T_MAX,                  # t numerator
+                        vzero + 1.0,                    # t denominator (> 0)
+                        (zeros, zeros, zeros),          # raw N (unnormalized)
+                        zeros)                          # class code (0 = miss)
             if fast:
                 return (vzero + T_MAX,                  # t numerator
                         vzero + 1.0,                    # t denominator (> 0)
@@ -189,6 +226,32 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                     (zeros, zeros, zeros),              # bemi
                     zeros,                              # brough
                     zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
+
+        def tri_test_tp(j, tc, o, d, m, valid=None):
+            """Triple-product leaf test — same form as megakernel.tri_body_tp
+            (pack_scene_tp table layout, fraction-ordered best hit)."""
+            bnum, bden, bN, bcode = tc
+            nv = (tl(j, 0), tl(j, 1), tl(j, 2))
+            e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+            e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+            c1 = (tl(j, 9), tl(j, 10), tl(j, 11))
+            c2 = (tl(j, 12), tl(j, 13), tl(j, 14))
+            det = _dot3(d, nv)
+            tnum = tl(j, 15) - _dot3(o, nv)
+            unum = _dot3(e2, m) - _dot3(d, c1)
+            vnum = _dot3(d, c2) - _dot3(e1, m)
+            inside = jnp.minimum(jnp.minimum(unum, vnum),
+                                 det - (unum + vnum)) >= 0.0
+            sel = ((det >= 1e-8) & inside & (tnum > 0.0)
+                   & (tnum * bden < bnum * det))
+            if valid is not None:
+                sel = sel & valid
+            bnum = jnp.where(sel, tnum, bnum)
+            bden = jnp.where(sel, det, bden)
+            bN = _where3(sel, (vzero + nv[0], vzero + nv[1],
+                               vzero + nv[2]), bN)
+            bcode = jnp.where(sel, tl(j, 16), bcode)
+            return bnum, bden, bN, bcode
 
         def tri_test_fast(j, tc, o, d, valid=None):
             """Division-free leaf test — same form as megakernel.tri_body_fast."""
@@ -254,6 +317,13 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             bmty = jnp.where(sel, tl(j, 19), bmty)
             return best_t, bn, balb, bemi, brough, bmty
 
+        def _leaf_test(m):
+            """Scan-specific leaf test; tp binds the stream's cross(o, d)."""
+            if tp:
+                return lambda j, tc, o, d, valid=None: tri_test_tp(
+                    j, tc, o, d, m, valid)
+            return tri_test_fast if fast else tri_test
+
         k_streams = len(rays)
 
         def cond(c):
@@ -262,7 +332,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 alive = alive | (c[i][0] < n_nodes)
             return alive
 
-        def step_stream(node, tc, o, d, inv_d, active_f):
+        def step_stream(node, tc, o, d, inv_d, active_f, m):
             """One traversal step for one stream (no-op once node == end)."""
             done = node >= n_nodes
             nd = jnp.minimum(node, n_nodes - 1)
@@ -279,7 +349,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 jnp.minimum(jnp.maximum(t1[0], t2[0]),
                             jnp.maximum(t1[1], t2[1])),
                 jnp.maximum(t1[2], t2[2]))
-            if fast:
+            if frac:
                 # best-t prune without the divide: t = num/den with den > 0,
                 # so t_near < t  ⟺  t_near*den < num.
                 nearer = t_near * tc[1] < tc[0]
@@ -298,7 +368,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 # Full leaf_size window, lanes masked by k < count (the table
                 # is padded, see pack_bvh_scene) — straight-line unrolled
                 # vector code instead of a serialized per-triangle lax.cond.
-                leaf_test = tri_test_fast if fast else tri_test
+                leaf_test = _leaf_test(m)
 
                 def k_body(k, tc2):
                     return leaf_test(start + k, tc2, o, d, valid=k < count)
@@ -310,7 +380,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             nxt = jnp.where(any_hit & ~is_leaf, nd + 1, skip)
             return jnp.where(done, node, nxt), tc
 
-        def step_stream_windowed(node, tc, o, d, inv_d, active_f):
+        def step_stream_windowed(node, tc, o, d, inv_d, active_f, m):
             """One windowed traversal iteration (see make_traversal docstring):
             speculatively test nodes node..node+window-1, chase the skip-link
             chain through them, leaf-test every visited hit leaf in order."""
@@ -333,7 +403,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                     jnp.minimum(jnp.maximum(t1[0], t2[0]),
                                 jnp.maximum(t1[1], t2[1])),
                     jnp.maximum(t1[2], t2[2]))
-                if fast:
+                if frac:
                     nearer = t_near * tc[1] < tc[0]
                 else:
                     nearer = t_near < tc[0]
@@ -367,7 +437,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                 cur = jnp.where(at_w, nxt_w, cur)
 
             # One shared leaf-test body, driven over the visited hit leaves.
-            leaf_test = tri_test_fast if fast else tri_test
+            leaf_test = _leaf_test(m)
 
             def leaf_w(w, tc):
                 def sel_scalar(vals):
@@ -400,7 +470,7 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
             for i in range(k_streams):
                 node, tc = c[i]
                 o, d, active_f = rays[i]
-                out.append(step(node, tc, o, d, inv_ds[i], active_f))
+                out.append(step(node, tc, o, d, inv_ds[i], active_f, ms[i]))
             return tuple(out)
 
         init = tuple((jnp.int32(0), fresh_tc()) for _ in range(k_streams))
@@ -502,10 +572,14 @@ def make_shader(cfg: RenderConfig, vzero):
 def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
                  interleave: int = 0, scan: str = "parity",
                  emi_const: tuple = (0.0, 0.0, 0.0), window: int = 1,
-                 flat_table: bool = False, flat_nodes: bool = False):
-    if scan not in ("parity", "fast"):
-        raise ValueError(f"scan must be 'parity' or 'fast', got {scan!r}")
+                 flat_table: bool = False, flat_nodes: bool = False,
+                 classes: tuple = ()):
+    if scan not in ("parity", "fast", "tp"):
+        raise ValueError(f"scan must be 'parity', 'fast' or 'tp', got {scan!r}")
     fast = scan == "fast"
+    tp = scan == "tp"
+    if tp and not classes:
+        raise ValueError("scan='tp' needs the classes tuple from pack_bvh_scene_tp")
     # Default 1: unlike the linear megakernel, measured speed here is bound by
     # traversal-loop iteration overhead (scalar bookkeeping + scf region
     # boundaries), not VPU dependency chains — merged k-stream traversal was
@@ -579,7 +653,10 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
                 for p in paths:
                     sg = sg + p[4]  # entrants this bounce
                 tcs = nearest_hit_multi([(p[0], p[1], p[4]) for p in paths])
-                if fast:
+                if tp:
+                    tcs = [decode_tp_tc(tc, classes, vzero, vone)
+                           for tc in tcs]
+                elif fast:
                     tcs = [decode_fast_tc(tc, emi_const) for tc in tcs]
                 return tuple(shade_one(p, tc)
                              for p, tc in zip(paths, tcs)), sg
@@ -605,12 +682,13 @@ def _make_kernel(cfg: RenderConfig, n_nodes: int, max_leaf: int, n_samples: int,
 
 @functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "max_leaf",
                                               "interleave", "scan",
-                                              "emi_const", "window"))
+                                              "emi_const", "window",
+                                              "classes"))
 def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
                              start_sample, n_samples: int, max_leaf: int = 8,
                              interleave: int = 0, scan: str = "parity",
                              emi_const: tuple = (0.0, 0.0, 0.0),
-                             window: int = 1):
+                             window: int = 1, classes: tuple = ()):
     """SUM of n_samples frames via the BVH megakernel + traced-segment count.
 
     interleave: samples stepped together with merged traversals (0 = auto);
@@ -636,7 +714,7 @@ def render_samples_bvh_stats(table, nodes_f, nodes_i, cfg: RenderConfig,
     kernel = _make_kernel(cfg, int(nodes_f.shape[0]), max_leaf, n_samples,
                           interleave, scan=scan, emi_const=emi_const,
                           window=window, flat_table=flat_table,
-                          flat_nodes=flat_nodes)
+                          flat_nodes=flat_nodes, classes=classes)
     if flat_nodes:
         nodes_f = nodes_f.reshape(-1)
         nodes_i = nodes_i.reshape(-1)
@@ -679,23 +757,8 @@ def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
 
     window=4 default: +19% on iteration-overhead-bound scenes (small/coherent),
     neutral on leaf-work-bound ones (large incoherent) — see make_traversal."""
-    from oclpathtracer_tpu.kernels.megakernel import (
-        fast_scan_supported,
-        scene_emissive_const,
-    )
-
-    # The BVH kernel's leaf tests support parity/fast only: "auto" picks the
-    # best it has; an explicit "tp" is an error (no silent substitution).
-    if scan == "tp":
-        raise ValueError("scan='tp' is not supported by the BVH kernel; "
-                         "use scan='auto' or 'fast'")
-    if scan == "auto":
-        scan = "fast" if fast_scan_supported(scene) else "parity"
-    elif scan == "fast" and not fast_scan_supported(scene):
-        raise ValueError("scan='fast' requested but the scene fails "
-                         "fast_scan_supported; use scan='auto'")
-    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
-    table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=leaf_size)
+    scan, table, nodes_f, nodes_i, emi, classes = prepare_bvh_scan(
+        scene, scan, leaf_size=leaf_size)
     chunk = samples_per_call or total_spp
     acc = jnp.zeros((cfg.n_pixels, 3), jnp.float32)
     s = 0
@@ -703,7 +766,43 @@ def render_bvh(scene: Scene, cfg: RenderConfig, total_spp: int,
         n = min(chunk, total_spp - s)
         img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg, s, n,
                                           max_leaf=leaf_size, scan=scan,
-                                          emi_const=emi, window=window)
+                                          emi_const=emi, window=window,
+                                          classes=classes)
         acc = acc + img
         s += n
     return acc / total_spp
+
+
+def prepare_bvh_scan(scene: Scene, requested: str = "auto",
+                     leaf_size: int = 8, branching: int = 8):
+    """Resolve the scan + build BVH tables: (scan, table, nodes_f, nodes_i,
+    emi_const, classes) — exactly the kwargs render_samples_bvh_stats takes.
+
+    auto = the fastest leaf test the scene supports (tp -> fast -> parity,
+    the same ladder as megakernel.resolve_scan); explicit requests are
+    validated against their support predicates and raise (a silent
+    substitution would hide that the requested arithmetic never ran)."""
+    from oclpathtracer_tpu.kernels.megakernel import (
+        fast_scan_supported,
+        scene_emissive_const,
+        tp_scan_supported,
+    )
+
+    scan = requested
+    if scan == "auto":
+        scan = ("tp" if tp_scan_supported(scene)
+                else "fast" if fast_scan_supported(scene) else "parity")
+    elif scan == "tp" and not tp_scan_supported(scene):
+        raise ValueError("scan='tp' requested but tp_scan_supported(scene) "
+                         "is False; use scan='auto' to fall back")
+    elif scan == "fast" and not fast_scan_supported(scene):
+        raise ValueError("scan='fast' requested but the scene fails "
+                         "fast_scan_supported; use scan='auto'")
+    if scan == "tp":
+        table, nodes_f, nodes_i, classes = pack_bvh_scene_tp(
+            scene, leaf_size=leaf_size, branching=branching)
+        return scan, table, nodes_f, nodes_i, (0.0, 0.0, 0.0), classes
+    emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+    table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=leaf_size,
+                                             branching=branching)
+    return scan, table, nodes_f, nodes_i, emi, ()

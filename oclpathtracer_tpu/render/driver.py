@@ -62,8 +62,8 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
     the linear-scan megakernel while the triangle table fits SMEM and the BVH
     kernel beyond. scan ∈ {auto, parity, fast, tp}: auto uses the fastest scan
     the scene's materials support (megakernel.resolve_scan — tp's class fusion,
-    else the division-free fast scan, else the reference-exact parity scan; the
-    BVH kernel tops out at "fast").
+    else the division-free fast scan, else the reference-exact parity scan),
+    for every backend including "bvh" (tp leaf tests, round 4).
     Kernel sample streams are the reference's RNG keyed by absolute
     (pixel, sample) — `seed`/`key` have no effect on these backends.
     """
@@ -98,30 +98,20 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
             return img
     elif backend == "bvh":
         from oclpathtracer_tpu.kernels.bvh_megakernel import (
-            pack_bvh_scene, render_samples_bvh_stats)
-        from oclpathtracer_tpu.kernels.megakernel import (
-            fast_scan_supported, scene_emissive_const)
+            prepare_bvh_scan, render_samples_bvh_stats)
 
-        # The BVH kernel's leaf tests support parity/fast only; "auto"
-        # degrades to the best it has, but an EXPLICIT "tp" is an error
-        # (silent substitution would hide that the requested arithmetic
-        # never ran).
-        if scan == "tp":
-            raise ValueError("scan='tp' is not supported by the BVH kernel "
-                             "(backend='bvh'); use scan='auto' or 'fast'")
-        if scan == "auto":
-            scan = "fast" if fast_scan_supported(scene) else "parity"
-        elif scan == "fast" and not fast_scan_supported(scene):
-            raise ValueError("scan='fast' requested but the scene fails "
-                             "fast_scan_supported; use scan='auto'")
-        emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
-        table, nodes_f, nodes_i = pack_bvh_scene(scene, leaf_size=32)
+        # auto = the fastest leaf test the scene supports (tp -> fast ->
+        # parity, the same ladder as the linear kernel); explicit requests
+        # validate against their support predicates and raise.
+        scan, table, nodes_f, nodes_i, emi, classes = prepare_bvh_scan(
+            scene, scan, leaf_size=32)
 
         def chunk(start):
             img, _ = render_samples_bvh_stats(table, nodes_f, nodes_i, cfg,
                                               start, samples_per_step,
                                               max_leaf=32, scan=scan,
-                                              emi_const=emi, window=4)
+                                              emi_const=emi, window=4,
+                                              classes=classes)
             return img
     else:
         raise ValueError(f"unknown kernel backend {backend!r}")

@@ -191,11 +191,34 @@ def test_prepare_scan_explicit_tp_raises(scene):
     assert scan == "parity"
 
 
-def test_driver_bvh_explicit_tp_raises(scene):
-    from oclpathtracer_tpu.render.driver import make_kernel_render_step
+def test_bvh_tp_leaf_matches_parity(scene):
+    """Round-4: the BVH kernel's tp leaf test (prepare_bvh_scan) must agree
+    with its reference-exact parity leaf test — same segments, allclose
+    images — so >1k-tri scenes get the fastest scan too (VERDICT r3 item 6c)."""
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, prepare_bvh_scan, render_samples_bvh_stats)
+
+    scan, table, nf, ni, emi, classes = prepare_bvh_scan(scene, "auto",
+                                                         leaf_size=4)
+    assert scan == "tp" and len(classes) == 5
+    img_t, segs_t = render_samples_bvh_stats(table, nf, ni, CFG, 0, 1,
+                                             max_leaf=4, scan="tp",
+                                             classes=classes)
+    table_p, nf_p, ni_p = pack_bvh_scene(scene, leaf_size=4)
+    img_p, segs_p = render_samples_bvh_stats(table_p, nf_p, ni_p, CFG, 0, 1,
+                                             max_leaf=4)
+    assert abs(float(segs_p) - float(segs_t)) <= 2.0
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(img_p),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_bvh_explicit_tp_raises_when_unsupported(scene):
+    """An explicitly requested tp leaf test on a tp-unsupported scene must
+    raise (silent substitution would hide which arithmetic ran)."""
+    from oclpathtracer_tpu.kernels.bvh_megakernel import prepare_bvh_scan
 
     with pytest.raises(ValueError, match="tp"):
-        make_kernel_render_step(scene, CFG, 1, backend="bvh", scan="tp")
+        prepare_bvh_scan(_with_many_classes(scene), "tp")
 
 
 def test_tp_scan_matches_parity_megakernel(scene):
