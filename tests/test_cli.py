@@ -31,6 +31,7 @@ def test_cli_render_ppm_reference_quirk(tmp_path):
     assert img.max() <= 255
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_cli_render_pallas_small(tmp_path):
     out = str(tmp_path / "p.png")
     rc = main(["render", "--width", "32", "--height", "32", "--spp", "2",

@@ -1,6 +1,7 @@
 """Fast differentiable path: Pallas forward + jnp-twin backward."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,7 @@ from oclpathtracer_tpu.kernels.megakernel import pack_scene
 CFG = RenderConfig(width=32, height=32, bounces=3)
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_fast_forward_matches_twin(scene):
     render, twin = make_fast_renderer(scene, CFG, 2)
     params = extract_params(scene, albedo=True)
@@ -38,6 +40,7 @@ def test_fast_gradient_equals_twin_gradient(scene):
                                np.asarray(g_twin.albedo), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_fast_loss_optimizes(scene):
     import optax
 

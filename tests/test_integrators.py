@@ -103,6 +103,7 @@ def test_parity_integrator_runs_and_is_deterministic(scene):
     assert np.isfinite(a).all() and (a >= 0).all()
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_parity_vs_threefry_statistics(scene):
     """Same estimator, different RNG → means agree within Monte-Carlo error."""
     key = rng.make_key(0)

@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -112,6 +113,7 @@ def test_png_writes_valid_header(tmp_path):
     assert b"IHDR" in data and b"IDAT" in data and b"IEND" in data
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_kernel_backend_matches_megakernel_direct(scene):
     """render_progressive(backend="pallas") ≡ the raw kernel's chunk sums,
     bitwise per scan mode (auto resolves to the fast scan on this scene)."""
@@ -129,6 +131,7 @@ def test_kernel_backend_matches_megakernel_direct(scene):
                                       (np.asarray(a) + np.asarray(b)) / 4.0)
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_kernel_backend_auto_dispatch(scene):
     """auto picks the linear kernel ≤ LINEAR_KERNEL_MAX_TRIS and BVH above."""
     from oclpathtracer_tpu.render.driver import LINEAR_KERNEL_MAX_TRIS
@@ -144,6 +147,7 @@ def test_kernel_backend_auto_dispatch(scene):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow  # interpret-mode kernel render dominates wall-time
 def test_kernel_backend_checkpoint_resume(scene, tmp_path):
     path = str(tmp_path / "kacc.npz")
     full = render_progressive(scene, CFG, total_spp=4, backend="pallas",
