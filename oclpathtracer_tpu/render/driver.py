@@ -25,11 +25,12 @@ from oclpathtracer_tpu.scene.types import Scene
 
 
 # Auto-backend crossover: the linear megakernel (flat 1-D SMEM table, 96 B/tri,
-# hard cap ~8k tris) beats the BVH kernel up to ~1k triangles, where the
-# brute-force scan cost overtakes the BVH's traversal overhead. Measured round 3
-# (sphere_field, 256², 4-bounce, same session): 324 tris linear 38.4 vs BVH
-# 35.5 Mrays/s; 1.3k tris linear 23.6 vs BVH 30.5; 12.8k linear 2.2 vs BVH 5.0.
-LINEAR_KERNEL_MAX_TRIS = 1024
+# hard cap ~8k tris) beats the BVH kernel only while the brute-force scan cost
+# is under the BVH's traversal overhead. Remeasured round 4 with tp scans on
+# BOTH kernels (palette sphere_field, 256², 4-bounce, paired medians): 324
+# tris bvh/linear 0.983, 484 → 1.030, 644 → 1.076, 964 → 1.088, 1.3k → 1.113,
+# 2.6k → 1.500 — crossover ≈ 480 tris (round 3's 1024 predated BVH tp leaves).
+LINEAR_KERNEL_MAX_TRIS = 480
 
 
 def make_render_step(cfg: RenderConfig, samples_per_step: int,
