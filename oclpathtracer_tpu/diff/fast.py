@@ -129,18 +129,9 @@ def class_params_to_materials(scene: Scene, params: "ClassParams") -> SceneParam
                        emissive=params.emissive[mat_class])
 
 
-def make_kernel_train_step(scene: Scene, cfg: RenderConfig, spp: int,
-                           lr: float):
-    """FULLY kernel-speed SGD step — Pallas forward AND hand-derived backward.
-
-    (params: ClassParams, target, step_idx) → (params, loss). Loss is the
-    unbiased pairwise form (make_unbiased_loss_fn rationale) on two disjoint
-    reference-frame ranges; gradients come from the adjoint megakernel's exact
-    path-space derivative (kernels/grad_megakernel.py) — no jnp twin anywhere,
-    so the whole step runs at kernel throughput (BASELINE.md "train step").
-    Requires tp_scan_supported(scene); parameter updates never recompile
-    (class attrs are a dynamic SMEM input).
-    """
+def _kernel_loss_and_grads(scene: Scene, cfg: RenderConfig, spp: int):
+    """(params, target, step_idx) → (loss, ClassParams grads) — the adjoint-
+    kernel pairwise-loss gradient shared by the SGD/optax/sharded steps."""
     from oclpathtracer_tpu.kernels.grad_megakernel import (
         prepare_grad_scene,
         render_grads_pallas,
@@ -149,8 +140,7 @@ def make_kernel_train_step(scene: Scene, cfg: RenderConfig, spp: int,
     table, ct0, C, _ = prepare_grad_scene(scene)
     n3 = cfg.n_pixels * 3
 
-    @jax.jit
-    def step(params: ClassParams, target, step_idx):
+    def loss_and_grads(params: ClassParams, target, step_idx):
         ct = jnp.concatenate([params.albedo, params.emissive, ct0[:, 6:8]], 1)
         fa = (2 * step_idx) * spp
         fb = (2 * step_idx + 1) * spp
@@ -167,11 +157,66 @@ def make_kernel_train_step(scene: Scene, cfg: RenderConfig, spp: int,
         _, ga = render_grads_pallas(table, ct, cfg, fa, spp, C, weight=w_a)
         _, gb = render_grads_pallas(table, ct, cfg, fb, spp, C, weight=w_b)
         g = ga + gb
-        albedo = jnp.clip(params.albedo - lr * g[:, 0:3], 0.0, 1.0)
-        emissive = jnp.maximum(params.emissive - lr * g[:, 3:6], 0.0)
-        return ClassParams(albedo=albedo, emissive=emissive), loss
+        return loss, ClassParams(albedo=g[:, 0:3], emissive=g[:, 3:6])
+
+    return loss_and_grads
+
+
+def _project_class(params: ClassParams) -> ClassParams:
+    """Back to the physical domain (albedo ∈ [0,1], emissive ≥ 0) — the
+    projection under which the adjoint's right-sided boundary derivative is
+    the correct gradient (kernels/grad_megakernel.py clamp note)."""
+    return ClassParams(albedo=jnp.clip(params.albedo, 0.0, 1.0),
+                       emissive=jnp.maximum(params.emissive, 0.0))
+
+
+def make_kernel_train_step(scene: Scene, cfg: RenderConfig, spp: int,
+                           lr: float):
+    """FULLY kernel-speed SGD step — Pallas forward AND hand-derived backward.
+
+    (params: ClassParams, target, step_idx) → (params, loss). Loss is the
+    unbiased pairwise form (make_unbiased_loss_fn rationale) on two disjoint
+    reference-frame ranges; gradients come from the adjoint megakernel's exact
+    path-space derivative (kernels/grad_megakernel.py) — no jnp twin anywhere,
+    so the whole step runs at kernel throughput (BASELINE.md "train step").
+    Requires tp_scan_supported(scene); parameter updates never recompile
+    (class attrs are a dynamic SMEM input).
+    """
+    loss_and_grads = _kernel_loss_and_grads(scene, cfg, spp)
+
+    @jax.jit
+    def step(params: ClassParams, target, step_idx):
+        loss, g = loss_and_grads(params, target, step_idx)
+        params = _project_class(ClassParams(
+            albedo=params.albedo - lr * g.albedo,
+            emissive=params.emissive - lr * g.emissive))
+        return params, loss
 
     return step
+
+
+def make_kernel_optax_step(scene: Scene, cfg: RenderConfig, spp: int,
+                           optimizer):
+    """Optimizer-driven kernel train step (any optax.GradientTransformation).
+
+    Returns (step, opt_init) where step(params, opt_state, target, step_idx)
+    → (params, opt_state, loss). Same adjoint-kernel gradients as
+    make_kernel_train_step; adam-style preconditioning handles the class
+    gradient-scale spread (walls see ~100× the gradient of small faces —
+    the same reason inverse.make_optax_train_step exists for the jnp path).
+    """
+    loss_and_grads = _kernel_loss_and_grads(scene, cfg, spp)
+
+    @jax.jit
+    def step(params: ClassParams, opt_state, target, step_idx):
+        loss, g = loss_and_grads(params, target, step_idx)
+        updates, opt_state = optimizer.update(g, opt_state, params)
+        params = _project_class(ClassParams(
+            albedo=params.albedo + updates.albedo,
+            emissive=params.emissive + updates.emissive))
+        return params, opt_state, loss
+
+    return step, optimizer.init
 
 
 def make_sharded_kernel_train_step(scene: Scene, cfg: RenderConfig, mesh,

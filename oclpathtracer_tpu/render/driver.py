@@ -72,7 +72,18 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
 
     n_tris = int(scene.geometry.p1.shape[0])
     if backend == "auto":
-        backend = "pallas" if n_tris <= LINEAR_KERNEL_MAX_TRIS else "bvh"
+        if n_tris > LINEAR_KERNEL_MAX_TRIS:
+            backend = "bvh"
+        elif cfg.bounces > 8:
+            # Deep bounce caps: mean path length ≪ cap, so the fixed-loop
+            # megakernel wastes most lanes while the path-regeneration kernel
+            # stays ~100% occupied — measured 16-bounce Cornell same-session:
+            # wavefront 821 vs megakernel 785 Mrays/s (BASELINE.md; the
+            # megakernel also gates its 16-way interleave/tp0 peel off past 8
+            # bounces for compile time, widening the gap).
+            backend = "wavefront"
+        else:
+            backend = "pallas"
 
     if backend == "pallas":
         from oclpathtracer_tpu.kernels.megakernel import (

@@ -137,6 +137,31 @@ def test_kernel_train_step_reduces_loss(grad_scene):
     assert losses[-1] < losses[0] * 0.7, f"loss did not drop: {losses}"
 
 
+def test_kernel_optax_step_reduces_loss(grad_scene):
+    import optax
+
+    from oclpathtracer_tpu.diff.fast import ClassParams, \
+        extract_class_params, make_kernel_optax_step
+
+    scene, table, ct, C, _ = grad_scene
+    true_params = extract_class_params(scene)
+    img, _ = render_grads_pallas(table, ct, CFG, 0, 4, C, with_grads=False)
+    target = img / 4
+    params = ClassParams(albedo=jnp.clip(true_params.albedo + 0.2, 0.0, 1.0),
+                         emissive=true_params.emissive)
+    step, opt_init = make_kernel_optax_step(scene, CFG, spp=2,
+                                            optimizer=optax.adam(5e-2))
+    opt_state = opt_init(params)
+    losses = []
+    for i in range(10):
+        params, opt_state, loss = step(params, opt_state, target, jnp.int32(0))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all(), losses
+    assert losses[-1] < losses[0] * 0.7, f"loss did not drop: {losses}"
+    assert float(jnp.max(params.albedo)) <= 1.0
+    assert float(jnp.min(params.emissive)) >= 0.0
+
+
 def test_sharded_kernel_step_matches_single(grad_scene, cpu_devices):
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -145,6 +145,13 @@ def test_kernel_backend_auto_dispatch(scene):
     img_bvh = render_progressive(scene, CFG, total_spp=2, backend="bvh")
     np.testing.assert_allclose(np.asarray(img_bvh), np.asarray(img_lin),
                                rtol=1e-4, atol=1e-4)
+    # Past 8 bounces auto switches to the path-regeneration kernel (it wins
+    # once mean path length ≪ the bounce cap — driver.py round 4).
+    deep = RenderConfig(width=16, height=16, bounces=9)
+    img_deep = render_progressive(scene, deep, total_spp=2, backend="auto")
+    img_wave = render_progressive(scene, deep, total_spp=2,
+                                  backend="wavefront")
+    np.testing.assert_array_equal(np.asarray(img_deep), np.asarray(img_wave))
 
 
 @pytest.mark.slow  # interpret-mode kernel render dominates wall-time
