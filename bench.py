@@ -42,8 +42,10 @@ BASELINE_SELF_MRAYS = 16.0
 
 WIDTH = HEIGHT = 512
 BOUNCES = 4
+BOUNCES_DEEP = 16   # the reference's BOUNCES cap (GenerateColors.cl:5)
 SPP_WARM = 4
 SPP_BENCH = 64
+SPP_BENCH_DEEP = 32
 PAIRS = 6
 
 
@@ -56,9 +58,14 @@ def main() -> None:
     from oclpathtracer_tpu.runtime import enable_compilation_cache
     from oclpathtracer_tpu.scene import load_cornell_box
 
+    from oclpathtracer_tpu.kernels.wavefront import (
+        render_samples_wavefront_stats,
+    )
+
     enable_compilation_cache()
     scene = load_cornell_box()
     cfg = RenderConfig(width=WIDTH, height=HEIGHT, bounces=BOUNCES)
+    cfg16 = RenderConfig(width=WIDTH, height=HEIGHT, bounces=BOUNCES_DEEP)
 
     # B: the current auto config (what the driver actually runs).
     scan_b, table_b, emi_b, classes_b = prepare_scan(scene, "auto")
@@ -78,27 +85,50 @@ def main() -> None:
                                            classes=classes_a, interleave=8,
                                            scan_chunks=1)
 
+    # Second pair: the 16-bounce deep-path headline (VERDICT r4 item 7).
+    # A16 anchor: the same frozen round-1 megakernel config at the reference's
+    # 16-bounce cap; B16: the auto backend's deep-bounce pick (wavefront
+    # path-regeneration — render/driver.py:74-86).
+    @jax.jit
+    def run_b16():
+        return render_samples_wavefront_stats(table_b, cfg16, SPP_WARM,
+                                              SPP_BENCH_DEEP, scan=scan_b,
+                                              emi_const=emi_b,
+                                              classes=classes_b)
+
+    @jax.jit
+    def run_a16():
+        return render_samples_pallas_stats(table_a, cfg16, SPP_WARM,
+                                           SPP_BENCH_DEEP, scan="parity",
+                                           emi_const=emi_a, classes=classes_a,
+                                           interleave=8, scan_chunks=1)
+
     def timed(fn):
         t0 = time.perf_counter()
         out, segs = fn()
         jax.block_until_ready(out)
         return int(segs) / (time.perf_counter() - t0)
 
-    # Warm-up / compile both configs before any timing.
-    out_b, _ = run_b()
-    jax.block_until_ready(out_b)
-    assert np.isfinite(np.asarray(out_b)).all(), "bench render non-finite (auto)"
-    out_a, _ = run_a()
-    jax.block_until_ready(out_a)
-    assert np.isfinite(np.asarray(out_a)).all(), "bench render non-finite (anchor)"
+    # Warm-up / compile every config before any timing.
+    for fn, name in ((run_b, "auto"), (run_a, "anchor"),
+                     (run_b16, "auto16"), (run_a16, "anchor16")):
+        out, _ = fn()
+        jax.block_until_ready(out)
+        assert np.isfinite(np.asarray(out)).all(), f"non-finite ({name})"
 
     rates_a, rates_b, ratios = [], [], []
+    rates_a16, rates_b16, ratios16 = [], [], []
     for _ in range(PAIRS):
         ra = timed(run_a)
         rb = timed(run_b)
         rates_a.append(ra)
         rates_b.append(rb)
         ratios.append(rb / ra)
+        ra16 = timed(run_a16)
+        rb16 = timed(run_b16)
+        rates_a16.append(ra16)
+        rates_b16.append(rb16)
+        ratios16.append(rb16 / ra16)
 
     mrays_b = max(rates_b) / 1e6
     mrays_a = max(rates_a) / 1e6
@@ -109,6 +139,9 @@ def main() -> None:
         "vs_baseline": round(mrays_b / BASELINE_SELF_MRAYS, 3),
         "anchor_value": round(mrays_a, 2),
         "ratio_vs_anchor": round(float(np.median(ratios)), 4),
+        "value_16b": round(max(rates_b16) / 1e6, 2),
+        "anchor_16b": round(max(rates_a16) / 1e6, 2),
+        "ratio_vs_anchor_16b": round(float(np.median(ratios16)), 4),
     }))
 
 

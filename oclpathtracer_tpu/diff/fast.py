@@ -257,7 +257,8 @@ def make_sharded_kernel_train_step(scene: Scene, cfg: RenderConfig, mesh,
                                    n_rays=local_n)
         a = a / spp
         b = b / spp
-        loss = jax.lax.psum(jnp.sum((a - target) * (b - target)), TILE_AXIS) / n3 * 3
+        # psum(local sum) / (n_pixels*3) == the single-device jnp.mean loss.
+        loss = jax.lax.psum(jnp.sum((a - target) * (b - target)), TILE_AXIS) / n3
         w_a = (b - target) / (n3 * spp)
         w_b = (a - target) / (n3 * spp)
         _, ga = render_grads_pallas(table, ct, cfg, fa, spp, C, weight=w_a,

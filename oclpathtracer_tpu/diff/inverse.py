@@ -31,15 +31,19 @@ class SceneParams(NamedTuple):
     albedo: Optional[jnp.ndarray] = None     # (M, 3)
     emissive: Optional[jnp.ndarray] = None   # (M, 3)
     vertices: Optional[tuple] = None         # (p1, p2, p3) each (T, 3)
+    roughness: Optional[jnp.ndarray] = None  # (M,) — GGX roughness (north-star
+    # "material albedo/specular"; the reference's one specular material is
+    # roughness 0.008, RaytraceTest.cpp:170-172, GGX GenerateColors.cl:174-192)
 
 
 def extract_params(scene: Scene, albedo=True, emissive=False,
-                   vertices=False) -> SceneParams:
+                   vertices=False, roughness=False) -> SceneParams:
     return SceneParams(
         albedo=scene.materials.albedo if albedo else None,
         emissive=scene.materials.emissive if emissive else None,
         vertices=(scene.geometry.p1, scene.geometry.p2, scene.geometry.p3)
         if vertices else None,
+        roughness=scene.materials.roughness if roughness else None,
     )
 
 
@@ -51,6 +55,8 @@ def apply_params(scene: Scene, params: SceneParams) -> Scene:
         mats = mats._replace(albedo=params.albedo)
     if params.emissive is not None:
         mats = mats._replace(emissive=params.emissive)
+    if getattr(params, "roughness", None) is not None:
+        mats = mats._replace(roughness=params.roughness)
     if params.vertices is not None:
         p1, p2, p3 = params.vertices
         geom = geom._replace(p1=p1, p2=p2, p3=p3)
@@ -154,7 +160,9 @@ def make_optax_train_step(scene: Scene, cfg: RenderConfig, spp: int, optimizer,
             return params
         albedo = None if params.albedo is None else jnp.clip(params.albedo, 0.0, 1.0)
         emissive = None if params.emissive is None else jnp.maximum(params.emissive, 0.0)
-        return params._replace(albedo=albedo, emissive=emissive)
+        rough = None if params.roughness is None else jnp.clip(
+            params.roughness, 1e-4, 1.0)  # >0: r=0 kills the GGX lobe's AD
+        return params._replace(albedo=albedo, emissive=emissive, roughness=rough)
 
     @jax.jit
     def step(params: SceneParams, opt_state, target, step_idx, key):

@@ -157,8 +157,15 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int, n_classes: int,
     eboost = np.float32(cfg.emissive_boost)
     roffset = np.float32(cfg.ray_offset)
 
-    def kernel(table_ref, class_ref, start_ref, base_ref, weight_ref,
-               out_ref, grad_ref):
+    def kernel(table_ref, class_ref, start_ref, base_ref, *rest):
+        # with_grads: rest = (weight_ref, out_ref, grad_ref); pure forward:
+        # rest = (out_ref,) — no loss-weight input, no uninitialized (nb, C,
+        # 6, SUB, LANE) grad block copied back per call (ADVICE r4).
+        if with_grads:
+            weight_ref, out_ref, grad_ref = rest
+        else:
+            (out_ref,) = rest
+
         def tl(j, c):
             return table_ref[j * TABLE_COLS + c]
 
@@ -175,14 +182,13 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int, n_classes: int,
         vone = vzero + 1.0
         zeros, ones = vzero, vone
 
-        # Loss weights for this block's lanes (3 channels).
-        wgt = (weight_ref[0, 0], weight_ref[0, 1], weight_ref[0, 2])
-
         # Zero-init the accumulated outputs (grad_ref accumulates per bounce).
         out_ref[0, 0] = vzero
         out_ref[0, 1] = vzero
         out_ref[0, 2] = vzero
         if with_grads:
+            # Loss weights for this block's lanes (3 channels).
+            wgt = (weight_ref[0, 0], weight_ref[0, 1], weight_ref[0, 2])
             for c in range(C):
                 for k in range(6):
                     grad_ref[0, c, k] = vzero
@@ -422,42 +428,57 @@ def render_grads_pallas(table: jnp.ndarray, class_table: jnp.ndarray,
     n_pix = n_rays if n_rays is not None else cfg.n_pixels
     nb = pl.cdiv(n_pix, BLOCK)
     C = n_classes
-    if weight is None:
-        weight = jnp.zeros((n_pix, 3), jnp.float32)
-    # Inverse of the output layout: (n_pix, 3) → (nb, 3, SUB, LANE) blocks.
-    wpad = jnp.zeros((nb * BLOCK, 3), jnp.float32).at[:n_pix].set(weight)
-    wblocks = wpad.reshape(nb, SUB, LANE, 3).transpose(0, 3, 1, 2)
 
     table = pad_table(table).reshape(-1)
     kernel = _make_kernel(cfg, int(table.shape[0]) // TABLE_COLS, n_samples, C,
                           with_grads=with_grads, interleave=interleave)
-    out, grads = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+    ]
+    inputs = [table, class_table.reshape(-1),
+              jnp.asarray(start_sample, jnp.int32).reshape(1),
+              jnp.asarray(pid_base, jnp.int32).reshape(1)]
+    out_block = pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_sds = jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32)
+    if with_grads:
+        if weight is None:
+            weight = jnp.zeros((n_pix, 3), jnp.float32)
+        # Inverse of the output layout: (n_pix, 3) → (nb, 3, SUB, LANE) blocks.
+        wpad = jnp.zeros((nb * BLOCK, 3), jnp.float32).at[:n_pix].set(weight)
+        wblocks = wpad.reshape(nb, SUB, LANE, 3).transpose(0, 3, 1, 2)
+        in_specs.append(out_block)
+        inputs.append(wblocks)
+        out, grads = pl.pallas_call(
+            kernel,
+            grid=(nb,),
+            in_specs=in_specs,
+            out_specs=(
+                out_block,
+                pl.BlockSpec((1, C, 6, SUB, LANE), lambda i: (i, 0, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                out_sds,
+                jax.ShapeDtypeStruct((nb, C, 6, SUB, LANE), jnp.float32),
+            ),
+            interpret=_interpret(),
+        )(*inputs)
+        img = out.transpose(0, 2, 3, 1).reshape(nb * BLOCK, 3)[:n_pix]
+        # Padded lanes carry zero weight, so summing everything is exact.
+        return img, jnp.sum(grads, axis=(0, 3, 4))
+    # Pure dynamic-class forward: no weight input, no grad output (ADVICE r4 —
+    # the uninitialized grad block used to be copied back on every call).
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, 6, SUB, LANE), lambda i: (i, 0, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32),
-            jax.ShapeDtypeStruct((nb, C, 6, SUB, LANE), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=out_block,
+        out_shape=out_sds,
         interpret=_interpret(),
-    )(table, class_table.reshape(-1),
-      jnp.asarray(start_sample, jnp.int32).reshape(1),
-      jnp.asarray(pid_base, jnp.int32).reshape(1), wblocks)
+    )(*inputs)
     img = out.transpose(0, 2, 3, 1).reshape(nb * BLOCK, 3)[:n_pix]
-    if not with_grads:
-        return img, None
-    # Padded lanes carry zero weight, so summing everything is exact.
-    return img, jnp.sum(grads, axis=(0, 3, 4))
+    return img, None

@@ -58,18 +58,21 @@ def host_local_pixel_slice(n_pixels: int) -> slice:
     the device tuple — NOT d.id values — define the order: multi-process JAX
     strides raw device ids per process (e.g. rank 1's CPU devices are ids
     2048, 2049), so ids are neither dense nor usable as shard indices.
+
+    Non-divisible pixel counts pad-and-mask (VERDICT r4 item 8): each device
+    owns ceil(n/n_dev) padded rows (matching parallel.sharded.shard_pixels),
+    and the returned slice is clipped to the REAL pixel range — a trailing
+    host may own fewer (or zero) real pixels, never an error.
     """
     devs = jax.devices()
     n_dev = len(devs)
-    if n_pixels % n_dev != 0:
-        raise ValueError(f"{n_pixels} pixels not divisible by {n_dev} devices")
-    per_dev = n_pixels // n_dev
+    per_dev = (n_pixels + n_dev - 1) // n_dev  # padded rows per device
     me = jax.process_index()
     pos = [i for i, d in enumerate(devs) if d.process_index == me]
     lo, hi = pos[0], pos[-1]
     if pos != list(range(lo, hi + 1)):
         raise ValueError("host's devices are not contiguous in the global order")
-    return slice(lo * per_dev, (hi + 1) * per_dev)
+    return slice(min(lo * per_dev, n_pixels), min((hi + 1) * per_dev, n_pixels))
 
 
 def process_count() -> int:

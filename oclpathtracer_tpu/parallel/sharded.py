@@ -29,16 +29,26 @@ from oclpathtracer_tpu.render.accumulate import Accumulator
 from oclpathtracer_tpu.scene.types import Scene
 
 
-def shard_pixels(cfg: RenderConfig, mesh: Mesh) -> jnp.ndarray:
-    """Absolute pixel ids (n_pixels,) laid out for sharding over 'tiles'.
+def padded_pixel_count(n_pixels: int, n_dev: int) -> int:
+    """n_pixels rounded up to a multiple of n_dev (the sharded array length)."""
+    return ((n_pixels + n_dev - 1) // n_dev) * n_dev
 
-    Requires n_pixels % n_devices == 0 (the canonical 512×512 divides any power-of-
-    two mesh; pad upstream otherwise).
+
+def shard_pixels(cfg: RenderConfig, mesh: Mesh) -> jnp.ndarray:
+    """Absolute pixel ids laid out for sharding over 'tiles'.
+
+    Length = n_pixels rounded UP to a multiple of n_devices (pad-and-mask,
+    VERDICT r4 item 8): tail entries repeat the last pixel id, so padded lanes
+    redundantly re-render one real pixel (absolute-id RNG keeps them bitwise
+    identical to it) and assembly simply drops the tail —
+    render_progressive_sharded slices mean()[:n_pixels]. For the canonical
+    512×512 on power-of-two meshes the pad is empty and this is exactly
+    arange(n_pixels).
     """
     n_dev = mesh.shape[TILE_AXIS]
-    if cfg.n_pixels % n_dev != 0:
-        raise ValueError(f"{cfg.n_pixels} pixels not divisible by {n_dev} devices")
-    return jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    n_pad = padded_pixel_count(cfg.n_pixels, n_dev)
+    ids = jnp.arange(n_pad, dtype=jnp.int32)
+    return jnp.minimum(ids, cfg.n_pixels - 1)
 
 
 def make_sharded_render_step(cfg: RenderConfig, mesh: Mesh, samples_per_step: int,
@@ -86,7 +96,9 @@ def render_progressive_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
     pixel_ids = jax.device_put(
         shard_pixels(cfg, mesh), jax.NamedSharding(mesh, P(TILE_AXIS))
     )
-    acc = Accumulator.zeros(cfg.n_pixels)
+    # Accumulate over the PADDED pixel space (pad-and-mask: see shard_pixels);
+    # the tail duplicates the last pixel and is dropped at assembly.
+    acc = Accumulator.zeros(int(pixel_ids.shape[0]))
     acc = Accumulator(
         sum=jax.device_put(acc.sum, jax.NamedSharding(mesh, P(TILE_AXIS))),
         count=jax.device_put(acc.count, jax.NamedSharding(mesh, P())),
@@ -98,4 +110,4 @@ def render_progressive_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh,
         acc = step(acc, scene, pixel_ids, jnp.int32(s), key)
         s += samples_per_step
     acc = jax.block_until_ready(acc)
-    return acc.mean()
+    return acc.mean()[:cfg.n_pixels]

@@ -177,7 +177,10 @@ def test_sharded_kernel_step_matches_single(grad_scene, cpu_devices):
     mesh = default_mesh(cpu_devices, n=2)
     params = extract_class_params(scene)
     img, _ = render_grads_pallas(table, ct, cfg, 0, 2, C, with_grads=False)
-    target = img / 2
+    # 0.7x: a target EQUAL to the render makes (a - target) == 0 bitwise and
+    # loss == 0 on both paths — which let a 3x loss-normalization bug slip
+    # through this assert once (ADVICE r4). Keep the loss nonzero.
+    target = img / 2 * 0.7
 
     step1 = make_kernel_train_step(scene, cfg, spp=2, lr=1e-2)
     p1, l1 = step1(params, target, jnp.int32(0))

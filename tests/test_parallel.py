@@ -22,13 +22,28 @@ pytestmark = pytest.mark.slow  # shard_map + Pallas interpret + subprocess pods
 CFG = RenderConfig(width=32, height=32, bounces=4)
 
 
-def test_shard_pixels_divisibility(cpu_devices):
+def test_shard_pixels_pads_and_masks(cpu_devices):
     mesh = default_mesh(cpu_devices)
     ids = shard_pixels(CFG, mesh)
-    assert ids.shape == (CFG.n_pixels,)
-    bad = RenderConfig(width=33, height=7)
-    with pytest.raises(ValueError):
-        shard_pixels(bad, mesh)
+    assert ids.shape == (CFG.n_pixels,)  # divisible → no pad
+    # Non-divisible images round up to a multiple of the mesh and clamp the
+    # tail to the last real pixel (pad-and-mask, VERDICT r4 item 8).
+    bad = RenderConfig(width=33, height=7)  # 231 px on 8 devices → 232
+    ids = np.asarray(shard_pixels(bad, mesh))
+    assert ids.shape == (232,)
+    assert (ids[:231] == np.arange(231)).all() and ids[231] == 230
+
+
+def test_sharded_render_non_divisible_bitwise(scene, cpu_devices):
+    """A 33×9 image (297 px, not divisible by 8) renders bitwise-identically
+    to the single-device path — the pad tail is dropped at assembly."""
+    cfg = RenderConfig(width=33, height=9, bounces=2)
+    mesh = default_mesh(cpu_devices, n=8)
+    img_sharded = render_progressive_sharded(scene, cfg, mesh, total_spp=2,
+                                             samples_per_step=2)
+    img_single = render_progressive(scene, cfg, total_spp=2, samples_per_step=2)
+    assert img_sharded.shape == (cfg.n_pixels, 3)
+    assert np.array_equal(np.asarray(img_sharded), np.asarray(img_single))
 
 
 @pytest.mark.parametrize("n_dev", [2, 8])
@@ -166,7 +181,7 @@ def test_multihost_helpers_single_process(cpu_devices):
     assert mesh.shape["tiles"] == len(jax.devices())
     s = multihost.host_local_pixel_slice(1024)
     assert (s.start, s.stop) == (0, 1024)  # single process owns everything
-    with pytest.raises(ValueError):
-        multihost.host_local_pixel_slice(1001)  # not divisible
+    s = multihost.host_local_pixel_slice(1001)  # non-divisible: clipped pad
+    assert (s.start, s.stop) == (0, 1001)
     assert multihost.process_count() == 1
     assert multihost.is_coordinator()

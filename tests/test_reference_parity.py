@@ -1,0 +1,81 @@
+"""Automated statistical parity against the reference's ONE external ground
+truth: FinalRendered_Specular.jpg (README.md:9) — VERDICT r4 item 5.
+
+Until round 5 this was checked by eyeball. The key that makes it automatic:
+the reference's PPM export applies sqrt ON TOP of the kernel's gamma-2.2
+framebuffer (RaytraceTest.cpp:283 + GenerateColors.cl:314-321 — the
+documented double-gamma quirk), so the JPEG is encoded ~ c^(1/4.4) while our
+artifact PNG is c^(1/2.2): sqrt(artifact) must equal the JPEG. It does, to
+8-bit precision — measured round 5 on the round-4 TPU artifact
+(512², 16 bounces, 4096 spp):
+
+    worst per-material region-channel |mean diff|  = 0.0113   (< 3/255)
+    32×32 box-downsampled relative L2              = 0.0040
+    global mean                                    = 0.6350 vs 0.6357
+
+Region masks come from center-ray triangle ids of OUR scene decode, so this
+test simultaneously pins scene decode, camera, and converged radiometry to
+the reference's published render.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from oclpathtracer_tpu import RenderConfig
+from oclpathtracer_tpu.core.intersect import intersect_world
+from oclpathtracer_tpu.diff.edge import rays_at
+
+REF_JPG = "/root/reference/FinalRendered_Specular.jpg"
+ARTIFACT = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                        "cornell_512_16b_4096spp_tpu.png")
+
+
+def test_statistical_parity_vs_reference_jpeg(scene):
+    PIL = pytest.importorskip("PIL.Image")
+    if not (os.path.exists(REF_JPG) and os.path.exists(ARTIFACT)):
+        pytest.skip("reference JPEG or TPU artifact not present")
+
+    ref = np.asarray(PIL.open(REF_JPG).convert("RGB"), np.float32) / 255.0
+    art = np.asarray(PIL.open(ARTIFACT).convert("RGB"), np.float32) / 255.0
+    assert ref.shape == art.shape == (512, 512, 3)
+    # The reference's double-gamma export quirk (RaytraceTest.cpp:283).
+    art = np.sqrt(art)
+
+    # Global statistics.
+    assert abs(float(art.mean()) - float(ref.mean())) < 0.02
+    a16 = art.reshape(32, 16, 32, 16, 3).mean((1, 3))
+    r16 = ref.reshape(32, 16, 32, 16, 3).mean((1, 3))
+    rel_l2 = float(np.linalg.norm(a16 - r16) / np.linalg.norm(r16))
+    assert rel_l2 < 0.02, f"downsampled rel-L2 {rel_l2}"
+
+    # Per-material region means (masks from OUR decode's center-ray tri ids:
+    # red wall, green wall, white shell, light, gold boxes...).
+    cfg = RenderConfig(width=512, height=512, bounces=2)
+    pids = jnp.arange(cfg.n_pixels, dtype=jnp.int32)
+    coords = jnp.stack([(pids % 512).astype(jnp.float32) + 0.5,
+                        (pids // 512).astype(jnp.float32) + 0.5], -1)
+    o, d = rays_at(coords, cfg)
+    rec = intersect_world(o, d, scene.geometry)
+    tri = np.asarray(rec.tri_idx)
+    hit = np.asarray(rec.hit)
+    mid = np.asarray(scene.geometry.mat_id)[tri]
+
+    checked = 0
+    for m in range(int(mid.max()) + 1):
+        mask = (hit & (mid == m)).reshape(512, 512)
+        if mask.sum() < 500:
+            continue
+        dm = np.abs(art[mask].mean(0) - ref[mask].mean(0))
+        assert dm.max() < 0.03, f"material {m} region mean diff {dm}"
+        checked += 1
+    assert checked >= 8, f"only {checked} regions had enough pixels"
+
+    # Color structure: the red/green walls are hue-dominant the right way.
+    red = (hit & (mid == 6)).reshape(512, 512)
+    green = (hit & (mid == 7)).reshape(512, 512)
+    for img in (art, ref):
+        assert img[red].mean(0)[0] > 5 * img[red].mean(0)[1]
+        assert img[green].mean(0)[1] > 5 * img[green].mean(0)[0]
