@@ -112,6 +112,55 @@ def main() -> None:
             "speedup_vs_jnp": round(results["jnp"][0] / dt, 2),
         }))
 
+    # ---- VERTEX steps (round 5, VERDICT r4 item 2): boundary-term training.
+    # Both variants run the SAME estimator quadrature (primary 108 edges × 64
+    # samples, secondary light rim 16/edge at pixel stride 4), so the ratio
+    # isolates the probe/forward backend: all-jnp (what round 4 shipped) vs
+    # Pallas forwards + Pallas arbitrary-ray probes + jnp interior at spp/4.
+    import optax
+
+    from oclpathtracer_tpu.diff import (
+        make_edge_aware_loss_fn,
+        make_vertex_train_step,
+    )
+
+    vparams = extract_params(scene, albedo=False, vertices=True)
+    eloss = make_edge_aware_loss_fn(
+        scene, cfg, SPP, samples_per_edge=64, edge_spp=4,
+        secondary_samples_per_edge=16, secondary_spp=2,
+        secondary_pixel_stride=4)
+    egrad = jax.jit(jax.value_and_grad(eloss))
+
+    def vjstep(p, t):
+        loss, g = egrad(p, t, key)
+        p = p._replace(vertices=tuple(
+            a - 1e-4 * b for a, b in zip(p.vertices, g.vertices)))
+        return p, loss
+
+    dt_j, loss = time_steps(vjstep, vparams, target)
+
+    vstep, vinit = make_vertex_train_step(
+        scene, cfg, SPP, optax.sgd(1e-4), interior_spp=max(SPP // 4, 1),
+        samples_per_edge=64, edge_spp=4, secondary=True,
+        secondary_samples_per_edge=16, secondary_spp=2,
+        secondary_pixel_stride=4)
+    state_box = [vinit(vparams)]
+
+    def vkstep(p, t):
+        p, state_box[0], loss = vstep(p, state_box[0], t, jnp.int32(0), key)
+        return p, loss
+
+    dt_k, loss_k = time_steps(vkstep, vparams, target)
+    for name, dt, l in (("vertex_jnp", dt_j, loss), ("vertex_kernel", dt_k,
+                                                     loss_k)):
+        print(json.dumps({
+            "metric": f"train_step_{name}",
+            "value": round(dt * 1000, 1),
+            "unit": "ms/step",
+            "loss": round(l, 6),
+            "speedup_vs_vertex_jnp": round(dt_j / dt, 2),
+        }))
+
 
 if __name__ == "__main__":
     main()

@@ -35,6 +35,7 @@ from oclpathtracer_tpu.diff.edge import (
     project_to_screen,
 )
 from oclpathtracer_tpu.diff.secondary import secondary_boundary_vertex_grads
+from oclpathtracer_tpu.diff.vertex import make_vertex_train_step
 from oclpathtracer_tpu.diff.inverse import (
     SceneParams,
     apply_params,
@@ -59,6 +60,7 @@ __all__ = [
     "make_optax_train_step",
     "make_train_step",
     "make_sharded_train_step",
+    "make_vertex_train_step",
     "project_to_screen",
     "secondary_boundary_vertex_grads",
 ]

@@ -145,10 +145,11 @@ def _radiance_at(scene: Scene, cfg: RenderConfig, coords: jnp.ndarray,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "samples_per_edge",
-                                             "spp", "delta"))
+                                             "spp", "delta", "probe_fn"))
 def boundary_vertex_grads(scene: Scene, cfg: RenderConfig, weight: jnp.ndarray,
                           key: jax.Array, samples_per_edge: int = 64,
-                          spp: int = 8, delta: float = 0.05):
+                          spp: int = 8, delta: float = 0.05,
+                          probe_fn=None):
     """Boundary term of d(Σ_p w_p · I_p)/d(vertices) — (dp1, dp2, dp3).
 
     weight: (n_pixels, 3) = ∂loss/∂I per pixel/channel (for make_loss_fn's
@@ -211,10 +212,17 @@ def boundary_vertex_grads(scene: Scene, cfg: RenderConfig, weight: jnp.ndarray,
     inward = jnp.sum(nhat * dcin, -1) > 0.0
     nhat = jnp.where(inward[:, None], -nhat, nhat)
 
-    # Radiance just inside (−δn̂) and outside (+δn̂), CRN-paired.
-    ekey = jax.random.fold_in(key, 0xED6E5)  # decorrelate from the render's stream
-    L_in = _radiance_at(scene, cfg, c_flat - delta * nhat, ekey, spp)
-    L_out = _radiance_at(scene, cfg, c_flat + delta * nhat, ekey, spp)
+    # Radiance just inside (−δn̂) and outside (+δn̂), CRN-paired. probe_fn
+    # ((N, 2) coords → (N, 3) mean radiance; two calls must share streams
+    # row-for-row) lets diff/vertex.py route these through the Pallas
+    # arbitrary-ray kernel at ~25× the jnp probe speed.
+    if probe_fn is None:
+        ekey = jax.random.fold_in(key, 0xED6E5)  # decorrelate from the render
+        probe = lambda coords: _radiance_at(scene, cfg, coords, ekey, spp)
+    else:
+        probe = probe_fn
+    L_in = probe(c_flat - delta * nhat)
+    L_out = probe(c_flat + delta * nhat)
 
     # Loss weight at the sample's pixel (0 off-image).
     px = jnp.floor(c_flat[:, 0]).astype(jnp.int32)

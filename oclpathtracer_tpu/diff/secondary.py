@@ -102,11 +102,11 @@ def _radiance_rays(scene: Scene, cfg: RenderConfig, o, d, bounces: int,
 
 @functools.partial(jax.jit, static_argnames=(
     "cfg", "tri_idx", "samples_per_edge", "spp", "delta", "max_prefix_depth",
-    "pixel_stride"))
+    "pixel_stride", "probe_fn"))
 def _secondary_grads(scene: Scene, cfg: RenderConfig, weight: jnp.ndarray,
                      key: jax.Array, tri_idx: tuple, samples_per_edge: int,
                      spp: int, delta: float, max_prefix_depth: int,
-                     pixel_stride: int = 1):
+                     pixel_stride: int = 1, probe_fn=None):
     T_total = scene.geometry.p1.shape[0]
     sel = np.asarray(tri_idx, np.int32)
     Tsel = sel.shape[0]
@@ -188,16 +188,21 @@ def _secondary_grads(scene: Scene, cfg: RenderConfig, weight: jnp.ndarray,
         front = _dot(om, edge_n[None]) >= 1e-8                  # face cull
         cosx = _dot(om, nrm[:, None, :])                        # (N, R)
 
-        # ---- CRN radiance probes just inside / outside the rim
+        # ---- CRN radiance probes just inside / outside the rim. probe_fn
+        # ((M, 3) o, (M, 3) d, rem bounces, depth → (M, 3) mean radiance;
+        # paired calls share streams row-for-row) = the kernel-probe hook.
         d_in = _normalize(om - delta * nh)
         d_out = _normalize(om + delta * nh)
         o_in = (x[:, None, :] + d_in * cfg.ray_offset).reshape(-1, 3)
         o_out = (x[:, None, :] + d_out * cfg.ray_offset).reshape(-1, 3)
-        dkey = jax.random.fold_in(key, 0x5EC0 + depth)
-        L_in = _radiance_rays(scene, cfg, o_in, d_in.reshape(-1, 3), rem,
-                              dkey, spp).reshape(n_pix, R, 3)
-        L_out = _radiance_rays(scene, cfg, o_out, d_out.reshape(-1, 3), rem,
-                               dkey, spp).reshape(n_pix, R, 3)
+        if probe_fn is None:
+            dkey = jax.random.fold_in(key, 0x5EC0 + depth)
+            probe = lambda oo, dd: _radiance_rays(scene, cfg, oo, dd, rem,
+                                                  dkey, spp)
+        else:
+            probe = lambda oo, dd: probe_fn(oo, dd, rem, depth)
+        L_in = probe(o_in, d_in.reshape(-1, 3)).reshape(n_pix, R, 3)
+        L_out = probe(o_out, d_out.reshape(-1, 3)).reshape(n_pix, R, 3)
 
         f = eval_brdf(wo[:, None, :], om, nrm[:, None, :], albedo[:, None, :],
                       rough[:, None], mty[:, None])             # (N, R, 3)
@@ -240,7 +245,7 @@ def secondary_boundary_vertex_grads(scene: Scene, cfg: RenderConfig,
                                     tri_idx=None, samples_per_edge: int = 32,
                                     spp: int = 4, delta: float = 0.01,
                                     max_prefix_depth: int = 1,
-                                    pixel_stride: int = 1):
+                                    pixel_stride: int = 1, probe_fn=None):
     """Secondary-visibility term of d(Σ_p w_p·I_p)/d(vertices) — (dp1, dp2, dp3).
 
     weight: (n_pixels, 3) = ∂loss/∂I per pixel/channel. tri_idx: static
@@ -268,4 +273,4 @@ def secondary_boundary_vertex_grads(scene: Scene, cfg: RenderConfig,
         return z, z, z
     return _secondary_grads(scene, cfg, weight, key, tuple(tri_idx),
                             samples_per_edge, spp, delta, max_prefix_depth,
-                            pixel_stride)
+                            pixel_stride, probe_fn)

@@ -499,7 +499,8 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
                  tri_unroll: int = 0, interleave: int = 0,
                  flat_table: bool = True, scan: str = "parity",
                  emi_const: tuple = (0.0, 0.0, 0.0), classes: tuple = (),
-                 scan_chunks: int = 0, tp0: bool = False):
+                 scan_chunks: int = 0, tp0: bool = False,
+                 rays_input: bool = False):
     """Build the kernel body with all static config baked in.
 
     flat_table: the scene table ref is 1-D (T*24,) in SMEM (fast scalar loads,
@@ -537,7 +538,8 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     # grows superlinearly in code size) for +1.9% on a depth where the
     # wavefront kernel wins anyway (vs +4% median at the 4-bounce headline).
     tp0 = (tp0 and tp and n_tris <= TRI_UNROLL_CAP
-           and 1 <= cfg.bounces <= 8)
+           and 1 <= cfg.bounces <= 8
+           and not rays_input)  # arbitrary rays don't share the camera origin
     tri_unroll = resolve_tri_unroll(n_tris, tri_unroll)
     auto_il = interleave == 0
     interleave = resolve_interleave(n_samples, interleave, cfg.bounces)
@@ -561,7 +563,17 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
     eboost = np.float32(cfg.emissive_boost)
     roffset = np.float32(cfg.ray_offset)
 
-    def kernel(table_ref, start_ref, base_ref, out_ref, seg_ref):
+    def kernel(table_ref, start_ref, base_ref, *rest):
+        # rays_input: rest = (o_ref, d_ref, out_ref, seg_ref) — origins and
+        # directions arrive as (1, 3, SUB, LANE) VMEM channel planes instead
+        # of the baked camera prologue (kernel-speed radiance probes for the
+        # boundary estimators, VERDICT r4 item 2). RNG still keys on the
+        # absolute row id (pid), so two probe batches with equal row counts
+        # share their uniform streams row-for-row (the CRN pairing contract).
+        if rays_input:
+            o_ref, d_ref, out_ref, seg_ref = rest
+        else:
+            out_ref, seg_ref = rest
         if flat_table:
             def tl(j, c):
                 return table_ref[j * TABLE_COLS + c]
@@ -595,6 +607,14 @@ def _make_kernel(cfg: RenderConfig, n_tris: int, n_samples: int,
             Bool tiles must not cross scf loop boundaries (Mosaic has no layout
             for carried vector<i1>) — active is carried as an f32 0/1 mask."""
             state = krng.seed_from(pid, sample_idx)
+            if rays_input:
+                # Arbitrary rays: no camera, no jitter draws — the stream's
+                # first two draws are bounce 0's (phi, xi), matching the jnp
+                # twin ref_uniforms(row_ids, sample, 2*bounces) directly.
+                o = (o_ref[0, 0], o_ref[0, 1], o_ref[0, 2])
+                d = (d_ref[0, 0], d_ref[0, 1], d_ref[0, 2])
+                return (o, d, (ones, ones, ones), (zeros, zeros, zeros),
+                        vone, state)
             state, u1 = krng.next_float(state)
             state, u2 = krng.next_float(state)
             x = px + u1 - 0.5
@@ -1069,6 +1089,79 @@ def render_samples_pallas(table: jnp.ndarray, cfg: RenderConfig,
                                          classes=classes, interleave=interleave,
                                          scan_chunks=scan_chunks)
     return img
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "n_samples", "scan",
+                                             "emi_const", "classes",
+                                             "interleave", "scan_chunks",
+                                             "tri_unroll"))
+def trace_rays_pallas_stats(table: jnp.ndarray, o: jnp.ndarray,
+                            d: jnp.ndarray, cfg: RenderConfig,
+                            n_samples: int, row_base=0, start_sample=0,
+                            tri_unroll: int = 0, scan: str = "parity",
+                            emi_const: tuple = (0.0, 0.0, 0.0),
+                            interleave: int = 0, classes: tuple = (),
+                            scan_chunks: int = 0):
+    """SUM of `n_samples` CRN path traces along ARBITRARY rays (o, d) (N, 3).
+
+    The camera prologue is replaced by VMEM ray inputs (rays_input mode of
+    _make_kernel) — the kernel-speed radiance-probe entry the boundary
+    estimators batch their L_in/L_out evaluations through (VERDICT r4
+    item 2). Streams key on (row_base + row index, sample): two calls with
+    equal row counts and the same row_base share streams row-for-row, the
+    CRN contract the ± rim probes rely on. Returns (radiance_sum (N, 3),
+    segments). jnp twin: trace_paths with
+    ref_uniforms(row_ids, sample, 2*cfg.bounces) — pinned bitwise by
+    tests/test_kernels.py::test_trace_rays_kernel_matches_jnp_twin.
+    `cfg.width/height` are ignored (no camera); bounces/bg/boost/offset apply.
+    """
+    n = int(o.shape[0])
+    nb = pl.cdiv(n, BLOCK)
+    npad = nb * BLOCK
+    # Pad with a unit ray; padded rows trace junk that is sliced off below.
+    o_p = jnp.zeros((npad, 3), jnp.float32).at[:n].set(o)
+    d_p = jnp.zeros((npad, 3), jnp.float32).at[:n].set(d)
+    d_p = d_p.at[n:, 2].set(1.0)
+    o_blocks = o_p.reshape(nb, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    d_blocks = d_p.reshape(nb, SUB, LANE, 3).transpose(0, 3, 1, 2)
+
+    table = pad_table(table)
+    flat = int(table.shape[0]) <= SMEM_TABLE_MAX_TRIS
+    kernel = _make_kernel(cfg, int(table.shape[0]), n_samples, tri_unroll,
+                          interleave=interleave, flat_table=flat, scan=scan,
+                          emi_const=emi_const, classes=classes,
+                          scan_chunks=scan_chunks, tp0=False, rays_input=True)
+    if flat:
+        table = table.reshape(-1)
+    table_space = pltpu.SMEM if flat else pltpu.VMEM
+    ray_block = pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out, segs = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=table_space),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            ray_block,
+            ray_block,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb, 3, SUB, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((nb, 1, SUB, LANE), jnp.float32),
+        ),
+        interpret=_interpret(),
+    )(table, jnp.asarray(start_sample, jnp.int32).reshape(1),
+      jnp.asarray(row_base, jnp.int32).reshape(1), o_blocks, d_blocks)
+    img = out.transpose(0, 2, 3, 1).reshape(npad, 3)
+    seg_flat = segs.reshape(npad)
+    return img[:n], jnp.sum(seg_flat[:n])
 
 
 def resolve_scan(scene: Scene, requested: str = "auto") -> str:

@@ -42,6 +42,44 @@ def test_megakernel_matches_parity_integrator(scene):
     np.testing.assert_allclose(img_k, img_j, rtol=1e-4, atol=1e-4)
 
 
+def test_trace_rays_kernel_matches_jnp_twin(scene):
+    """Arbitrary-ray entry (trace_rays_pallas_stats, rays_input mode): the
+    camera prologue is replaced by VMEM ray inputs and the stream's first
+    draws are bounce 0's — allclose to trace_paths on ref_uniforms(row, s,
+    2*bounces), including the row_base CRN offset."""
+    from oclpathtracer_tpu.integrators.parity import ref_uniforms
+    from oclpathtracer_tpu.integrators.path import trace_paths
+    from oclpathtracer_tpu.kernels.megakernel import (
+        pack_scene,
+        trace_rays_pallas_stats,
+    )
+
+    n = 1500  # not a BLOCK multiple: exercises the pad-and-slice path
+    cfg = RenderConfig(width=8, height=8, bounces=3)
+    # A spread of rays from two origins through the box interior.
+    g = np.random.default_rng(0)
+    o = np.where((np.arange(n) % 2 == 0)[:, None],
+                 np.array([[0.0, 2.75, 4.0]]), np.array([[0.3, 1.0, -1.0]]))
+    d = g.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = jnp.asarray(o, jnp.float32)
+    d = jnp.asarray(d, jnp.float32)
+
+    table = pack_scene(scene)
+    img_k, segs = trace_rays_pallas_stats(table, o, d, cfg, 2, row_base=7)
+
+    rows = jnp.arange(n, dtype=jnp.int32) + 7
+    img_j = jnp.zeros((n, 3), jnp.float32)
+    for s in range(2):
+        us = ref_uniforms(rows, s, 2 * cfg.bounces)
+        rad, _ = trace_paths(o, d, scene,
+                             us.reshape(n, cfg.bounces, 2), cfg)
+        img_j = img_j + rad
+    np.testing.assert_allclose(np.asarray(img_k), np.asarray(img_j),
+                               rtol=1e-4, atol=1e-4)
+    assert float(segs) > n  # multi-bounce: more segments than rays
+
+
 def test_megakernel_multi_sample_sum(scene):
     table = pack_scene(scene)
     s4 = np.asarray(render_samples_pallas(table, CFG, 0, 4))
