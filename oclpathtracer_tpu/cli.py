@@ -70,6 +70,12 @@ def _cmd_render(args) -> int:
 
         img = render_bvh(scene, cfg, args.spp,
                          samples_per_call=min(args.spp, 64), scan=args.scan)
+    elif args.integrator == "widebvh":
+        from oclpathtracer_tpu.render.driver import render_progressive
+
+        img = render_progressive(scene, cfg, args.spp,
+                                 samples_per_step=min(args.spp, 64),
+                                 backend="widebvh", scan=args.scan)
     elif args.integrator == "sorted":
         from oclpathtracer_tpu.kernels.sorted_wavefront import render_sorted
 
@@ -151,8 +157,8 @@ def main(argv=None) -> int:
     r.add_argument("--bounces", type=int, default=16)
     r.add_argument("--seed", type=int, default=0)
     r.add_argument("--integrator", default="pallas",
-                   choices=["pallas", "wavefront", "bvh", "sorted", "path",
-                            "primary",
+                   choices=["pallas", "wavefront", "bvh", "widebvh", "sorted",
+                            "path", "primary",
                             "ao", "ao-pallas", "direct", "direct-pallas"])
     r.add_argument("--output", "-o", default="render.png")
     r.add_argument("--checkpoint", default=None)

@@ -156,18 +156,22 @@ def build_bvh(geom: Geometry, leaf_size: int = 4, branching: int = 2) -> FlatBVH
             emit.reordered.extend(idxs.tolist())
             emit.tri_cursor += len(idxs)
         else:
-            # Split into up to `branching` children via recursive SAH halving.
+            # Split into up to `branching` children via recursive SAH
+            # splits, largest group first, REPLACED IN PLACE (stable child
+            # order). Splitting one group per step keeps the child count
+            # exactly ≤ branching — the earlier split-every-group rounds
+            # could overshoot to ~2×branching−1, which the 8-wide node
+            # format (widen_bvh) cannot hold.
             groups = [idxs]
             while len(groups) < branching:
-                nxt = []
-                for g in groups:
-                    if len(g) > leaf_size:
-                        nxt.extend(_sah_split(g, centroid, tri_min, tri_max))
-                    else:
-                        nxt.append(g)
-                if len(nxt) == len(groups):
+                gi_best, sz_best = -1, leaf_size
+                for gi, g in enumerate(groups):
+                    if len(g) > sz_best:
+                        gi_best, sz_best = gi, len(g)
+                if gi_best < 0:
                     break  # nothing left to split
-                groups = nxt
+                l, r = _sah_split(groups[gi_best], centroid, tri_min, tri_max)
+                groups[gi_best:gi_best + 1] = [l, r]
             for g in groups:
                 emit(g)
         skips[nid] = len(nodes_min)  # next pre-order node after this subtree
@@ -185,6 +189,106 @@ def build_bvh(geom: Geometry, leaf_size: int = 4, branching: int = 2) -> FlatBVH
         tri_count=jnp.asarray(np.asarray(counts, np.int32)),
         order=jnp.asarray(np.asarray(emit.reordered, np.int32)),
     )
+
+
+class WideBVH(NamedTuple):
+    """8-wide node groups derived from a FlatBVH (same tree, same leaf order).
+
+    One GROUP per internal node holds its ≤8 children's AABBs and metadata
+    contiguously, so a traversal iteration can slab-test all siblings in one
+    batch (kernels/wide_bvh.py). child_kind: 0 = empty slot (inverted box —
+    can never be hit), 1 = internal (child_a = child's group id), 2 = leaf
+    (child_a = tri_start, child_b = tri_count). depth = max stack depth a
+    bitmask-stack traversal needs (root group = id 0).
+    """
+
+    child_min: jnp.ndarray   # (G, 8, 3) f32
+    child_max: jnp.ndarray   # (G, 8, 3) f32
+    child_kind: jnp.ndarray  # (G, 8) i32
+    child_a: jnp.ndarray     # (G, 8) i32
+    child_b: jnp.ndarray     # (G, 8) i32
+    order: jnp.ndarray       # (T,) i32 — same reorder as the source FlatBVH
+    depth: int
+
+
+def widen_bvh(bvh: FlatBVH, max_children: int = 8) -> WideBVH:
+    """Group each internal node's children into one wide node (host, numpy).
+
+    Children are stored in pre-order (slot 0 = leftmost), so a traversal that
+    pops the lowest set stack bit visits leaves in EXACTLY the pre-order the
+    skip-link walk uses — outputs stay bitwise-identical (extra speculative
+    leaf visits can never win a best-hit: any triangle in a prunable box has
+    t ≥ the box's t_near ≥ best_t)."""
+    skip = np.asarray(bvh.skip)
+    start = np.asarray(bvh.tri_start)
+    count = np.asarray(bvh.tri_count)
+    nmin = np.asarray(bvh.nodes_min)
+    nmax = np.asarray(bvh.nodes_max)
+    n = skip.shape[0]
+    internal = count == 0
+
+    if n == 1 or not internal[0]:
+        # Degenerate single-leaf tree: one group whose slot 0 is the leaf.
+        cmin = np.full((1, max_children, 3), 1e30, np.float32)
+        cmax = np.full((1, max_children, 3), -1e30, np.float32)
+        kind = np.zeros((1, max_children), np.int32)
+        a = np.zeros((1, max_children), np.int32)
+        b = np.zeros((1, max_children), np.int32)
+        cmin[0, 0] = nmin[0]
+        cmax[0, 0] = nmax[0]
+        kind[0, 0] = 2
+        a[0, 0] = start[0]
+        b[0, 0] = count[0]
+        return WideBVH(jnp.asarray(cmin), jnp.asarray(cmax),
+                       jnp.asarray(kind), jnp.asarray(a), jnp.asarray(b),
+                       bvh.order, 1)
+
+    gid = -np.ones(n, np.int64)
+    g = 0
+    for i in range(n):
+        if internal[i]:
+            gid[i] = g
+            g += 1
+    cmin = np.full((g, max_children, 3), 1e30, np.float32)
+    cmax = np.full((g, max_children, 3), -1e30, np.float32)
+    kind = np.zeros((g, max_children), np.int32)
+    a = np.zeros((g, max_children), np.int32)
+    b = np.zeros((g, max_children), np.int32)
+    depth = np.zeros(g, np.int64)  # filled bottom-up below (children first? no: compute after)
+
+    for i in range(n):
+        if not internal[i]:
+            continue
+        gi = gid[i]
+        c = i + 1
+        slot = 0
+        while c < skip[i]:
+            assert slot < max_children, (
+                f"node {i} has >{max_children} children — build with "
+                f"branching <= {max_children}")
+            cmin[gi, slot] = nmin[c]
+            cmax[gi, slot] = nmax[c]
+            if internal[c]:
+                kind[gi, slot] = 1
+                a[gi, slot] = gid[c]
+            else:
+                kind[gi, slot] = 2
+                a[gi, slot] = start[c]
+                b[gi, slot] = count[c]
+            c = skip[c]
+            slot += 1
+
+    # Stack depth: groups are numbered in pre-order, so children have larger
+    # ids — one reverse sweep computes subtree depths.
+    for gi in range(g - 1, -1, -1):
+        d = 1
+        for slot in range(max_children):
+            if kind[gi, slot] == 1:
+                d = max(d, 1 + int(depth[a[gi, slot]]))
+        depth[gi] = d
+
+    return WideBVH(jnp.asarray(cmin), jnp.asarray(cmax), jnp.asarray(kind),
+                   jnp.asarray(a), jnp.asarray(b), bvh.order, int(depth[0]))
 
 
 def reorder_geometry(geom: Geometry, bvh: FlatBVH) -> Geometry:

@@ -34,12 +34,17 @@ def _dot(a, b):
 
 
 def trace_paths(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
-                uniforms: jnp.ndarray, cfg: RenderConfig):
+                uniforms: jnp.ndarray, cfg: RenderConfig,
+                clamp: bool = True):
     """Trace a batch of paths to completion.
 
     o, d: (N, 3) primary rays; uniforms: (N, bounces, 2) BRDF-sampling uniforms.
     Returns (radiance (N, 3), stats) where stats["segments"] counts traced ray
-    segments (for Mrays/s accounting).
+    segments (for Mrays/s accounting). clamp=False skips the reference's final
+    max(radiance, 0) (GenerateColors.cl:260) — the UNCLAMPED path sum is what
+    the adjoint megakernel differentiates (its documented clamp-as-identity
+    semantics; only observable at unphysical parameters where a per-sample
+    radiance can go negative — tests/test_grad_kernel.py pins this).
     """
     n = o.shape[0]
     bg = jnp.asarray(cfg.bg_color, jnp.float32)
@@ -93,7 +98,9 @@ def trace_paths(o: jnp.ndarray, d: jnp.ndarray, scene: Scene,
         bounce, (o, d, radiance, mask, active), us_per_bounce
     )
     # max(radiance, 0) — GenerateColors.cl:260.
-    return jnp.maximum(radiance, 0.0), {"segments": jnp.sum(seg_counts)}
+    if clamp:
+        radiance = jnp.maximum(radiance, 0.0)
+    return radiance, {"segments": jnp.sum(seg_counts)}
 
 
 def render_sample(scene: Scene, cfg: RenderConfig, sample_idx,

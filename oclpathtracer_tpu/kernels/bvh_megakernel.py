@@ -124,6 +124,152 @@ def scan_columns(scan: str) -> tuple:
     return tuple(range(20))
 
 
+def make_leaf_kit(tl, vzero, scan: str):
+    """Shared leaf-test machinery for BOTH traversals (skip-walk and wide).
+
+    tl(j, c): scalar load of logical pack_scene column c of triangle j.
+    Returns (fresh_tc, leaf_test_for) where leaf_test_for(m) binds a stream's
+    cross(o, d) for the tp scan and yields
+    leaf_test(j, tc, o, d, valid=None) → tc."""
+    zeros = vzero
+    fast = scan == "fast"
+    tp = scan == "tp"
+
+    def fresh_tc():
+        if tp:
+            return (vzero + T_MAX,                  # t numerator
+                    vzero + 1.0,                    # t denominator (> 0)
+                    (zeros, zeros, zeros),          # raw N (unnormalized)
+                    zeros)                          # class code (0 = miss)
+        if fast:
+            return (vzero + T_MAX,                  # t numerator
+                    vzero + 1.0,                    # t denominator (> 0)
+                    (zeros, zeros, zeros),          # normal
+                    (zeros, zeros, zeros),          # albedo
+                    zeros)  # rough + 4*mtype + 16*is_emitter code
+        return (vzero + T_MAX,                      # best_t
+                (zeros, zeros, zeros),              # bn
+                (zeros, zeros, zeros),              # balb
+                (zeros, zeros, zeros),              # bemi
+                zeros,                              # brough
+                zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
+
+    def tri_test_tp(j, tc, o, d, m, valid=None):
+        """Triple-product leaf test — same form as megakernel.tri_body_tp
+        (pack_scene_tp table layout, fraction-ordered best hit)."""
+        bnum, bden, bN, bcode = tc
+        nv = (tl(j, 0), tl(j, 1), tl(j, 2))
+        e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+        e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+        c1 = (tl(j, 9), tl(j, 10), tl(j, 11))
+        c2 = (tl(j, 12), tl(j, 13), tl(j, 14))
+        det = _dot3(d, nv)
+        tnum = tl(j, 15) - _dot3(o, nv)
+        unum = _dot3(e2, m) - _dot3(d, c1)
+        vnum = _dot3(d, c2) - _dot3(e1, m)
+        inside = jnp.minimum(jnp.minimum(unum, vnum),
+                             det - (unum + vnum)) >= 0.0
+        sel = ((det >= 1e-8) & inside & (tnum > 0.0)
+               & (tnum * bden < bnum * det))
+        if valid is not None:
+            sel = sel & valid
+        bnum = jnp.where(sel, tnum, bnum)
+        bden = jnp.where(sel, det, bden)
+        bN = _where3(sel, (vzero + nv[0], vzero + nv[1],
+                           vzero + nv[2]), bN)
+        bcode = jnp.where(sel, tl(j, 16), bcode)
+        return bnum, bden, bN, bcode
+
+    def tri_test_fast(j, tc, o, d, valid=None):
+        """Division-free leaf test — same form as megakernel.tri_body_fast."""
+        bnum, bden, bn, balb, bcode = tc
+        p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
+        e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+        e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+        pvec = _cross3(d, e2)
+        det = _dot3(e1, pvec)
+        tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+        unum = _dot3(tvec, pvec)
+        qvec = _cross3(tvec, e1)
+        vnum = _dot3(d, qvec)
+        tnum = _dot3(e2, qvec)
+        inside = jnp.minimum(jnp.minimum(unum, vnum),
+                             det - (unum + vnum)) >= 0.0
+        sel = ((det >= 1e-8) & inside & (tnum > 0.0)
+               & (tnum * bden < bnum * det))
+        if valid is not None:
+            sel = sel & valid
+        bnum = jnp.where(sel, tnum, bnum)
+        bden = jnp.where(sel, det, bden)
+        bn = _where3(sel, (vzero + tl(j, 9),
+                           vzero + tl(j, 10),
+                           vzero + tl(j, 11)), bn)
+        balb = _where3(sel, (vzero + tl(j, 12),
+                             vzero + tl(j, 13),
+                             vzero + tl(j, 14)), balb)
+        bcode = jnp.where(sel, tl(j, 23), bcode)
+        return bnum, bden, bn, balb, bcode
+
+    def tri_test(j, tc, o, d, valid=None):
+        best_t, bn, balb, bemi, brough, bmty = tc
+        p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
+        e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
+        e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
+        pvec = _cross3(d, e2)
+        det = _dot3(e1, pvec)
+        front = det >= 1e-8
+        inv_det = 1.0 / jnp.where(front, det, 1.0)
+        tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
+        u = _dot3(tvec, pvec) * inv_det
+        qvec = _cross3(tvec, e1)
+        v = _dot3(d, qvec) * inv_det
+        t = _dot3(e2, qvec) * inv_det
+        sel = (front & (u >= 0.0) & (u <= 1.0)
+               & (v >= 0.0) & (u + v <= 1.0)
+               & (t > 0.0) & (t < best_t))
+        if valid is not None:
+            sel = sel & valid
+        best_t = jnp.where(sel, t, best_t)
+
+        def bc(c):
+            return vzero + c
+
+        bn = _where3(sel, (bc(tl(j, 9)), bc(tl(j, 10)),
+                           bc(tl(j, 11))), bn)
+        balb = _where3(sel, (bc(tl(j, 12)), bc(tl(j, 13)),
+                             bc(tl(j, 14))), balb)
+        bemi = _where3(sel, (bc(tl(j, 15)), bc(tl(j, 16)),
+                             bc(tl(j, 17))), bemi)
+        brough = jnp.where(sel, tl(j, 18), brough)
+        bmty = jnp.where(sel, tl(j, 19), bmty)
+        return best_t, bn, balb, bemi, brough, bmty
+
+    def leaf_test_for(m):
+        """Scan-specific leaf test; tp binds the stream's cross(o, d)."""
+        if tp:
+            return lambda j, tc, o, d, valid=None: tri_test_tp(
+                j, tc, o, d, m, valid)
+        return tri_test_fast if fast else tri_test
+
+    return fresh_tc, leaf_test_for
+
+
+def make_flat_tl(table_ref, scan: str, flat_table: bool):
+    """tl(j, c): logical pack_scene column c of triangle j, through the slim
+    flattened SMEM layout when flat_table (see make_traversal docstring)."""
+    if flat_table:
+        cols = scan_columns(scan)
+        phys = {c: i for i, c in enumerate(cols)}
+        ncols = len(cols)
+
+        def tl(j, c):
+            return table_ref[j * ncols + phys[c]]
+    else:
+        def tl(j, c):
+            return table_ref[j, c]
+    return tl
+
+
 def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
                    max_leaf: int, vzero, scan: str = "parity",
                    window: int = 1, flat_table: bool = False,
@@ -165,20 +311,11 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
     tp = scan == "tp"
     frac = fast or tp  # best-t tracked as a (num, den) fraction
 
-    if flat_table:
-        # Flattened tables are SLIMMED to the columns the scan reads
-        # (scan_columns(scan)) — 64 B/tri for fast vs 96 full — so bigger
-        # scenes stay SMEM-resident. tl maps logical (pack_scene) column ->
-        # physical position in the slim layout.
-        cols = scan_columns(scan)
-        phys = {c: i for i, c in enumerate(cols)}
-        ncols = len(cols)
-
-        def tl(j, c):
-            return table_ref[j * ncols + phys[c]]
-    else:
-        def tl(j, c):
-            return table_ref[j, c]
+    # Flattened tables are SLIMMED to the columns the scan reads
+    # (scan_columns(scan)) — 64 B/tri for fast vs 96 full — so bigger
+    # scenes stay SMEM-resident; tl maps logical -> slim position.
+    tl = make_flat_tl(table_ref, scan, flat_table)
+    fresh_tc, _leaf_test = make_leaf_kit(tl, vzero, scan)
     if flat_nodes:
         def nf(n, c):
             return nodes_f_ref[n * 8 + c]
@@ -207,122 +344,6 @@ def make_traversal(table_ref, nodes_f_ref, nodes_i_ref, n_nodes: int,
         # tp leaf test: one cross(o, d) per stream per traversal feeds every
         # leaf triangle's unum/vnum triple products (megakernel tri_body_tp).
         ms = [_cross3(o, d) for (o, d, _) in rays] if tp else [None] * len(rays)
-
-        def fresh_tc():
-            if tp:
-                return (vzero + T_MAX,                  # t numerator
-                        vzero + 1.0,                    # t denominator (> 0)
-                        (zeros, zeros, zeros),          # raw N (unnormalized)
-                        zeros)                          # class code (0 = miss)
-            if fast:
-                return (vzero + T_MAX,                  # t numerator
-                        vzero + 1.0,                    # t denominator (> 0)
-                        (zeros, zeros, zeros),          # normal
-                        (zeros, zeros, zeros),          # albedo
-                        zeros)  # rough + 4*mtype + 16*is_emitter code
-            return (vzero + T_MAX,                      # best_t
-                    (zeros, zeros, zeros),              # bn
-                    (zeros, zeros, zeros),              # balb
-                    (zeros, zeros, zeros),              # bemi
-                    zeros,                              # brough
-                    zeros)  # bmty as f32 (Mosaic: no i1-vector truncs)
-
-        def tri_test_tp(j, tc, o, d, m, valid=None):
-            """Triple-product leaf test — same form as megakernel.tri_body_tp
-            (pack_scene_tp table layout, fraction-ordered best hit)."""
-            bnum, bden, bN, bcode = tc
-            nv = (tl(j, 0), tl(j, 1), tl(j, 2))
-            e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
-            e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
-            c1 = (tl(j, 9), tl(j, 10), tl(j, 11))
-            c2 = (tl(j, 12), tl(j, 13), tl(j, 14))
-            det = _dot3(d, nv)
-            tnum = tl(j, 15) - _dot3(o, nv)
-            unum = _dot3(e2, m) - _dot3(d, c1)
-            vnum = _dot3(d, c2) - _dot3(e1, m)
-            inside = jnp.minimum(jnp.minimum(unum, vnum),
-                                 det - (unum + vnum)) >= 0.0
-            sel = ((det >= 1e-8) & inside & (tnum > 0.0)
-                   & (tnum * bden < bnum * det))
-            if valid is not None:
-                sel = sel & valid
-            bnum = jnp.where(sel, tnum, bnum)
-            bden = jnp.where(sel, det, bden)
-            bN = _where3(sel, (vzero + nv[0], vzero + nv[1],
-                               vzero + nv[2]), bN)
-            bcode = jnp.where(sel, tl(j, 16), bcode)
-            return bnum, bden, bN, bcode
-
-        def tri_test_fast(j, tc, o, d, valid=None):
-            """Division-free leaf test — same form as megakernel.tri_body_fast."""
-            bnum, bden, bn, balb, bcode = tc
-            p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
-            e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
-            e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
-            pvec = _cross3(d, e2)
-            det = _dot3(e1, pvec)
-            tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
-            unum = _dot3(tvec, pvec)
-            qvec = _cross3(tvec, e1)
-            vnum = _dot3(d, qvec)
-            tnum = _dot3(e2, qvec)
-            inside = jnp.minimum(jnp.minimum(unum, vnum),
-                                 det - (unum + vnum)) >= 0.0
-            sel = ((det >= 1e-8) & inside & (tnum > 0.0)
-                   & (tnum * bden < bnum * det))
-            if valid is not None:
-                sel = sel & valid
-            bnum = jnp.where(sel, tnum, bnum)
-            bden = jnp.where(sel, det, bden)
-            bn = _where3(sel, (vzero + tl(j, 9),
-                               vzero + tl(j, 10),
-                               vzero + tl(j, 11)), bn)
-            balb = _where3(sel, (vzero + tl(j, 12),
-                                 vzero + tl(j, 13),
-                                 vzero + tl(j, 14)), balb)
-            bcode = jnp.where(sel, tl(j, 23), bcode)
-            return bnum, bden, bn, balb, bcode
-
-        def tri_test(j, tc, o, d, valid=None):
-            best_t, bn, balb, bemi, brough, bmty = tc
-            p1 = (tl(j, 0), tl(j, 1), tl(j, 2))
-            e1 = (tl(j, 3), tl(j, 4), tl(j, 5))
-            e2 = (tl(j, 6), tl(j, 7), tl(j, 8))
-            pvec = _cross3(d, e2)
-            det = _dot3(e1, pvec)
-            front = det >= 1e-8
-            inv_det = 1.0 / jnp.where(front, det, 1.0)
-            tvec = (o[0] - p1[0], o[1] - p1[1], o[2] - p1[2])
-            u = _dot3(tvec, pvec) * inv_det
-            qvec = _cross3(tvec, e1)
-            v = _dot3(d, qvec) * inv_det
-            t = _dot3(e2, qvec) * inv_det
-            sel = (front & (u >= 0.0) & (u <= 1.0)
-                   & (v >= 0.0) & (u + v <= 1.0)
-                   & (t > 0.0) & (t < best_t))
-            if valid is not None:
-                sel = sel & valid
-            best_t = jnp.where(sel, t, best_t)
-
-            def bc(c):
-                return vzero + c
-
-            bn = _where3(sel, (bc(tl(j, 9)), bc(tl(j, 10)),
-                               bc(tl(j, 11))), bn)
-            balb = _where3(sel, (bc(tl(j, 12)), bc(tl(j, 13)),
-                                 bc(tl(j, 14))), balb)
-            bemi = _where3(sel, (bc(tl(j, 15)), bc(tl(j, 16)),
-                                 bc(tl(j, 17))), bemi)
-            brough = jnp.where(sel, tl(j, 18), brough)
-            bmty = jnp.where(sel, tl(j, 19), bmty)
-            return best_t, bn, balb, bemi, brough, bmty
-
-        def _leaf_test(m):
-            """Scan-specific leaf test; tp binds the stream's cross(o, d)."""
-            if tp:
-                return lambda j, tc, o, d, valid=None: tri_test_tp(
-                    j, tc, o, d, m, valid)
-            return tri_test_fast if fast else tri_test
 
         k_streams = len(rays)
 

@@ -25,12 +25,21 @@ from oclpathtracer_tpu.scene.types import Scene
 
 
 # Auto-backend crossover: the linear megakernel (flat 1-D SMEM table, 96 B/tri,
-# hard cap ~8k tris) beats the BVH kernel only while the brute-force scan cost
+# hard cap ~8k tris) beats the BVH kernels only while the brute-force scan cost
 # is under the BVH's traversal overhead. Remeasured round 4 with tp scans on
 # BOTH kernels (palette sphere_field, 256², 4-bounce, paired medians): 324
 # tris bvh/linear 0.983, 484 → 1.030, 644 → 1.076, 964 → 1.088, 1.3k → 1.113,
 # 2.6k → 1.500 — crossover ≈ 480 tris (round 3's 1024 predated BVH tp leaves).
 LINEAR_KERNEL_MAX_TRIS = 480
+
+# Beyond the crossover, auto picks the 8-WIDE bitmask-stack BVH kernel
+# (kernels/wide_bvh.py) over the skip-link walk: round-5 paired medians
+# (sphere_field, 256², 4 bounces, wide/skip ratio at each kernel's leaf 32):
+# 1.3k 1.044, 2.6k 1.035, 5.1k 1.091, 7.7k 1.139, 10.2k 1.121, 16.6k 1.073 —
+# except a reproducible wide-leaf-32 tree-shape pocket at the 12.8k scene
+# (0.78-0.82), which leaf 64 flips to 1.10 (skip-walk is leaf-size-flat there:
+# skip64/skip32 = 0.993). Hence the leaf-size switch below.
+WIDE_BVH_LEAF_SWITCH_TRIS = 12_000
 
 
 def make_render_step(cfg: RenderConfig, samples_per_step: int,
@@ -59,9 +68,10 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
                             samples_per_step: int, backend: str = "auto",
                             scan: str = "auto"):
     """Build a jitted step (Accumulator, start_sample) → Accumulator over one of
-    the fused Pallas kernels. backend ∈ {auto, pallas, bvh, wavefront}; auto picks
-    the linear-scan megakernel while the triangle table fits SMEM and the BVH
-    kernel beyond. scan ∈ {auto, parity, fast, tp}: auto uses the fastest scan
+    the fused Pallas kernels. backend ∈ {auto, pallas, bvh, widebvh,
+    wavefront}; auto picks the linear-scan megakernel up to the crossover and
+    the 8-wide bitmask-stack BVH kernel beyond (the skip-link walk stays as
+    the explicit "bvh" option). scan ∈ {auto, parity, fast, tp}: auto uses the fastest scan
     the scene's materials support (megakernel.resolve_scan — tp's class fusion,
     else the division-free fast scan, else the reference-exact parity scan),
     for every backend including "bvh" (tp leaf tests, round 4).
@@ -73,7 +83,7 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
     n_tris = int(scene.geometry.p1.shape[0])
     if backend == "auto":
         if n_tris > LINEAR_KERNEL_MAX_TRIS:
-            backend = "bvh"
+            backend = "widebvh"
         elif cfg.bounces > 8:
             # Deep bounce caps: mean path length ≪ cap, so the fixed-loop
             # megakernel wastes most lanes while the path-regeneration kernel
@@ -107,6 +117,32 @@ def make_kernel_render_step(scene: Scene, cfg: RenderConfig,
                                                     samples_per_step, scan=scan,
                                                     emi_const=emi,
                                                     classes=classes)
+            return img
+    elif backend == "widebvh":
+        from oclpathtracer_tpu.kernels.wide_bvh import (
+            pack_wide_bvh_scene, render_samples_wide_bvh_stats)
+
+        from oclpathtracer_tpu.kernels.megakernel import (
+            fast_scan_supported, scene_emissive_const, tp_scan_supported)
+
+        leaf = 32 if n_tris <= WIDE_BVH_LEAF_SWITCH_TRIS else 64
+        # Same scan ladder + validation as prepare_bvh_scan.
+        if scan == "auto":
+            scan = ("tp" if tp_scan_supported(scene)
+                    else "fast" if fast_scan_supported(scene) else "parity")
+        elif scan == "tp" and not tp_scan_supported(scene):
+            raise ValueError("scan='tp' requested but unsupported; use 'auto'")
+        elif scan == "fast" and not fast_scan_supported(scene):
+            raise ValueError("scan='fast' requested but unsupported; use 'auto'")
+        emi = scene_emissive_const(scene) if scan == "fast" else (0.0, 0.0, 0.0)
+        wtable, wn_f, wn_i, depth, classes = pack_wide_bvh_scene(
+            scene, leaf_size=leaf, scan=scan)
+
+        def chunk(start):
+            img, _ = render_samples_wide_bvh_stats(
+                wtable, wn_f, wn_i, cfg, start, samples_per_step,
+                max_leaf=leaf, max_depth=depth, scan=scan, emi_const=emi,
+                classes=classes)
             return img
     elif backend == "bvh":
         from oclpathtracer_tpu.kernels.bvh_megakernel import (
@@ -149,7 +185,7 @@ def render_progressive(scene: Scene, cfg: RenderConfig, total_spp: int,
     sample counter IS the checkpoint — tiny, exact restart at any sample).
 
     backend: "jnp" (default; the lax.scan megakernel in integrators/path.py, uses
-    `seed`) or a fused Pallas kernel — "auto"/"pallas"/"bvh"/"wavefront" (see
+    `seed`) or a fused Pallas kernel — "auto"/"pallas"/"bvh"/"widebvh"/"wavefront" (see
     make_kernel_render_step; reference RNG streams, `seed` ignored). sample_fn
     forces the jnp path. scan: triangle-scan arithmetic for the kernel backends
     ("auto"/"parity"/"fast" — see make_kernel_render_step).

@@ -43,6 +43,24 @@ def _clear_jax_caches():
     yield
 
 
+# Modules whose tests EACH compile multiple large interpret-mode Pallas
+# kernels: by round 5, enough accumulate WITHIN one module to re-trigger the
+# XLA CPU-compiler segfault (observed at test_kernels.py::
+# test_direct_kernel_matches_ref_twin with the round-5 wide-BVH tests ahead
+# of it). Per-test clearing in just these modules keeps executables-live
+# bounded; their tests share almost no compiled functions, so the cost is
+# only the small jnp helpers.
+_HEAVY_KERNEL_MODULES = ("test_kernels", "test_grad_kernel", "test_bvh")
+
+
+@pytest.fixture(autouse=True)
+def _clear_heavy_module_caches(request):
+    mod = getattr(request.module, "__name__", "")
+    if mod.rsplit(".", 1)[-1] in _HEAVY_KERNEL_MODULES:
+        jax.clear_caches()
+    yield
+
+
 @pytest.fixture(scope="session")
 def scene():
     return load_cornell_box()

@@ -117,6 +117,58 @@ def test_adjoint_is_right_derivative_at_boundary(grad_scene, weights):
     assert checked >= 4, "too few resolvable coordinates"
 
 
+def test_adjoint_semantics_where_clamp_binds(grad_scene, weights):
+    """VERDICT r4 item 10: exercise the adjoint where max(radiance, 0)
+    actually BINDS mid-accumulation with nonzero carried state. A class with
+    NEGATIVE albedo (outside the physical domain) makes odd-bounce paths
+    carry negative masks, so per-sample radiance goes negative and the clamp
+    fires. Pins the kernel header's documented semantics: the adjoint is the
+    exact derivative of the UNCLAMPED path sum — equal to AD of the unclamped
+    twin, and necessarily different from AD of the clamped twin where the
+    clamp is active."""
+    from oclpathtracer_tpu.core.camera import generate_rays
+    from oclpathtracer_tpu.integrators.parity import ref_uniforms
+    from oclpathtracer_tpu.integrators.path import trace_paths
+
+    scene, table, ct, C, mat_class = grad_scene
+    ctn = ct.at[0, 0:3].set(jnp.asarray([-0.4, -0.3, -0.35]))
+    w = weights
+    _, g = render_grads_pallas(table, ctn, CFG, 0, 2, C, weight=w)
+
+    mcj = jnp.asarray(mat_class)
+    pixel_ids = jnp.arange(CFG.n_pixels, dtype=jnp.int32)
+
+    def twin_image(ct_, clamp):
+        mats = scene.materials._replace(albedo=ct_[:, 0:3][mcj],
+                                        emissive=ct_[:, 3:6][mcj])
+        sc = scene._replace(materials=mats)
+        acc = jnp.zeros((CFG.n_pixels, 3), jnp.float32)
+        for f in range(2):
+            us = ref_uniforms(pixel_ids, f, 2 + 2 * CFG.bounces)
+            o, d = generate_rays(pixel_ids % CFG.width, pixel_ids // CFG.width,
+                                 CFG.width, CFG.height, us[:, 0], us[:, 1],
+                                 CFG.camera)
+            rad, _ = trace_paths(o, d, sc,
+                                 us[:, 2:].reshape(-1, CFG.bounces, 2), CFG,
+                                 clamp=clamp)
+            acc = acc + rad
+        return acc
+
+    # The clamp genuinely binds: some per-sample radiance is negative.
+    assert float(twin_image(ctn, clamp=False).min()) < -1e-3
+
+    g_unclamped = jax.grad(
+        lambda c: jnp.sum(w * twin_image(c, False)))(ctn)[:, 0:6]
+    g_clamped = jax.grad(
+        lambda c: jnp.sum(w * twin_image(c, True)))(ctn)[:, 0:6]
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_unclamped),
+                               rtol=5e-3, atol=5e-3)
+    diff = float(np.abs(np.asarray(g) - np.asarray(g_clamped)).max())
+    assert diff > 1e-2, (
+        f"clamp did not separate the two derivatives ({diff}) — the scene "
+        f"point no longer activates it")
+
+
 def test_kernel_train_step_reduces_loss(grad_scene):
     from oclpathtracer_tpu.diff.fast import ClassParams, extract_class_params, \
         make_kernel_train_step

@@ -454,6 +454,38 @@ def test_bvh_fast_scan_matches_parity(scene):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_wide_bvh_bitwise_matches_skip_walk(scene):
+    """8-wide bitmask-stack traversal (kernels/wide_bvh.py) visits leaves in
+    exactly the skip-walk's pre-order → bitwise-identical radiance and
+    segment counts, on the Cornell box and a 320-tri procedural scene, for
+    the parity and fast scans."""
+    from oclpathtracer_tpu.kernels.bvh_megakernel import (
+        pack_bvh_scene, render_samples_bvh_stats)
+    from oclpathtracer_tpu.kernels.megakernel import scene_emissive_const
+    from oclpathtracer_tpu.kernels.wide_bvh import (
+        pack_wide_bvh_scene, render_samples_wide_bvh_stats)
+    from oclpathtracer_tpu.scene.procgen import sphere_field
+
+    big = sphere_field(n_spheres=3, subdivisions=1, seed=2)
+    for sc, cfg in ((scene, CFG),
+                    (big, RenderConfig(width=32, height=32, bounces=4,
+                                       camera=CFG.camera.__class__(
+                                           eye=(0.0, 3.0, 9.0))))):
+        emi = scene_emissive_const(sc)
+        for scan in ("parity", "fast"):
+            table, nf, ni = pack_bvh_scene(sc, leaf_size=4, branching=8)
+            r_s, s_s = render_samples_bvh_stats(table, nf, ni, cfg, 0, 2,
+                                                max_leaf=4, scan=scan,
+                                                emi_const=emi)
+            wtable, wf, wi, depth, _ = pack_wide_bvh_scene(sc, leaf_size=4,
+                                                           scan=scan)
+            r_w, s_w = render_samples_wide_bvh_stats(
+                wtable, wf, wi, cfg, 0, 2, max_leaf=4, max_depth=depth,
+                scan=scan, emi_const=emi)
+            assert float(s_s) == float(s_w), (scan, float(s_s), float(s_w))
+            np.testing.assert_array_equal(np.asarray(r_s), np.asarray(r_w))
+
+
 def test_bvh_megakernel_large_scene():
     """A 300+-triangle procedural scene renders finite, lit images."""
     from oclpathtracer_tpu.scene.procgen import sphere_field

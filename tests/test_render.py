@@ -140,10 +140,14 @@ def test_kernel_backend_auto_dispatch(scene):
     img_auto = render_progressive(scene, CFG, total_spp=2, backend="auto")
     img_lin = render_progressive(scene, CFG, total_spp=2, backend="pallas")
     np.testing.assert_array_equal(np.asarray(img_auto), np.asarray(img_lin))
-    # BVH backend renders the same scene to the same converged look (same
-    # streams, different intersection order -> allclose).
+    # BVH backends render the same scene to the same converged look (same
+    # streams, different intersection order -> allclose); the wide kernel is
+    # bitwise the skip-walk (test_kernels.py pins it on its own build).
     img_bvh = render_progressive(scene, CFG, total_spp=2, backend="bvh")
     np.testing.assert_allclose(np.asarray(img_bvh), np.asarray(img_lin),
+                               rtol=1e-4, atol=1e-4)
+    img_wide = render_progressive(scene, CFG, total_spp=2, backend="widebvh")
+    np.testing.assert_allclose(np.asarray(img_wide), np.asarray(img_lin),
                                rtol=1e-4, atol=1e-4)
     # Past 8 bounces auto switches to the path-regeneration kernel (it wins
     # once mean path length ≪ the bounce cap — driver.py round 4).
