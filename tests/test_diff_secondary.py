@@ -120,6 +120,59 @@ def test_secondary_grads_match_fd_isolation():
     assert checked == 5
 
 
+def test_secondary_depth2_improves_fd_match():
+    """max_prefix_depth=2: the rim term from SECOND path vertices (floor
+    points reached via the wall) is real and the estimator integrates it.
+    Measured r5 on this scene (3 bounces, 4-key FD): depth-2 lands within
+    ~1-5% of FD on the x-coordinates where depth-1 is ~6-7% short."""
+    A, B, C, D = [-6, -3, -2], [6, -3, -2], [6, 8, -2], [-6, 8, -2]
+    F1, F2, F3, F4 = [-6, -3, 4.8], [6, -3, 4.8], [6, -3, -2], [-6, -3, -2]
+    L1, L2, L3, L4 = [-4, -1, 4.5], [4, -1, 4.5], [4, 6.5, 4.5], [-4, 6.5, 4.5]
+    geom = Geometry(
+        p1=jnp.asarray([A, C, F1, F3, L1, L3], jnp.float32),
+        p2=jnp.asarray([B, D, F2, F4, L3, L1], jnp.float32),
+        p3=jnp.asarray([C, A, F3, F1, L2, L4], jnp.float32),
+        mat_id=jnp.asarray([0, 0, 0, 0, 1, 1], jnp.int32))
+    mats = Materials(albedo=jnp.asarray([[0.7, 0.7, 0.7], [0, 0, 0]],
+                                        jnp.float32),
+                     emissive=jnp.asarray([[0, 0, 0], [5, 5, 5]], jnp.float32),
+                     roughness=jnp.asarray([0, 0], jnp.float32),
+                     mtype=jnp.asarray([1, 1], jnp.int32))
+    lights = Lights(tri_idx=jnp.asarray([4, 5], jnp.int32),
+                    area=jnp.asarray([32.0, 32.0], jnp.float32),
+                    normal=jnp.asarray([[0, 0, -1], [0, 0, -1]], jnp.float32))
+    scene = Scene(geometry=geom, materials=mats, lights=lights)
+
+    cfg = RenderConfig(width=32, height=32, bounces=3)
+    spp = 96
+    n = cfg.n_pixels
+    params = extract_params(scene, albedo=False, vertices=True)
+    weight = jnp.full((n, 3), 1.0 / n, jnp.float32)
+
+    def loss(p, k):
+        img = render_spp(apply_params(scene, p), cfg, spp, k)
+        return jnp.sum(img) / n
+
+    dps = {}
+    for depth in (1, 2):
+        dps[depth] = secondary_boundary_vertex_grads(
+            scene, cfg, weight, rng.make_key(3), samples_per_edge=48, spp=6,
+            delta=0.01, max_prefix_depth=depth)
+
+    VERTS = {"L1": [(0, 4), (1, 5)], "L2": [(2, 4)], "L4": [(2, 5)]}
+    keys = [rng.make_key(k) for k in (3, 17, 99)]
+    for name, comp in (("L1", 0), ("L2", 0), ("L4", 1)):
+        copies = VERTS[name]
+        g1, g2 = (sum(float(np.asarray(dps[d][leaf])[row, comp])
+                      for leaf, row in copies) for d in (1, 2))
+        g_fd = float(np.mean([_fd_multi(loss, params, copies, comp, 0.1, k)
+                              for k in keys]))
+        assert abs(g_fd) > 0.1
+        assert np.isclose(g2, g_fd, rtol=0.15), (
+            f"{name}: depth-2 {g2} vs FD {g_fd}")
+        assert abs(g2 - g1) > 1e-3, "depth 2 added nothing — loop inert?"
+
+
 def test_cornell_light_vertex_grads_match_fd(scene):
     """The round-4 documented-wrong case: Cornell AREA-LIGHT vertex gradients.
 
