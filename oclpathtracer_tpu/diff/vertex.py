@@ -56,9 +56,11 @@ def make_kernel_probe_fns(table, cfg: RenderConfig, edge_spp: int,
 
     CRN pairing holds because paired calls share row indices (the kernel's
     streams key on (row, sample)); step_idx decorrelates steps by shifting
-    the sample range.
+    the sample range. The 2^20 offset keeps probe streams disjoint from the
+    forward renders' frame range (probe row ids coincide with pixel ids, so
+    equal sample indices would correlate the loss weight with the ΔL probes).
     """
-    base = step_idx * jnp.int32(1024)
+    base = jnp.int32(1 << 20) + step_idx * jnp.int32(1024)
 
     def edge_probe(coords):
         o, d = rays_at(coords, cfg)
