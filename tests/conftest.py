@@ -49,7 +49,11 @@ def _clear_jax_caches():
 # test_direct_kernel_matches_ref_twin with the round-5 wide-BVH tests ahead
 # of it). Per-test clearing in just these modules keeps executables-live
 # bounded; their tests share almost no compiled functions, so the cost is
-# only the small jnp helpers.
+# only the small jnp helpers. With this, the FULL suite completes green on
+# the 2-core box (round 5: ~2 h under heavy external CPU contention; the
+# wall-time is XLA CPU compile of interpret-mode kernels, so shrinking test
+# shapes does not help — program SIZE, i.e. bounces × unroll × streams, is
+# the only lever). The quick gate remains `pytest -m 'not slow'`.
 _HEAVY_KERNEL_MODULES = ("test_kernels", "test_grad_kernel", "test_bvh")
 
 
